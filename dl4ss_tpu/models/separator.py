@@ -1,0 +1,148 @@
+"""The composed speaker-conditioned separation model.
+
+One model generalizing all four reference generations (SURVEY.md §7 design
+stance): encoder -> query source (speaker embedding | life-long memory |
+image CNN | video encoder) -> optional ADDJUST -> mask head -> mask apply.
+Mirrors the forward pass of Torch_multi/main_run.py:461-506 and
+TDAA_beta/main_run_sstune_TestVer.py:427-476, and the recursive
+peel-and-subtract loop of main_run_multi_selfSS_recu.py:313-400.
+
+Two channel layouts:
+  * top-k (static K = cfg.top_k) — queries gathered for K selected speakers;
+    the TPU-native formulation (`separate`);
+  * dense (all S speakers, 0/1-gated) — the exact main_run.py layout where
+    every speaker owns a loss channel (`separate_dense`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dl4ss_tpu.config import Config
+from dl4ss_tpu.models.adjust import apply_adjust, init_adjust
+from dl4ss_tpu.models.attention import apply_mask_head, init_mask_head
+from dl4ss_tpu.models.classifier import apply_classifier, init_classifier
+from dl4ss_tpu.models.discriminator import apply_discriminator, init_discriminator
+from dl4ss_tpu.models.embedding import (apply_embedding,
+                                        apply_embedding_gated, init_embedding)
+from dl4ss_tpu.models.encoder import apply_encoder, init_encoder
+from dl4ss_tpu.objectives.select import top_k_indices, top_k_mask
+from dl4ss_tpu.ops.crm import complex_mask_apply, crm_uncompress
+
+
+class SeparatorOutput(NamedTuple):
+    masks: jax.Array        # (B,K,T,F) or compressed cRM (B,K,T,F,2)
+    pred: jax.Array         # masked magnitudes (B,K,T,F) or complex RI (...,2)
+    probs: jax.Array        # classifier probabilities (B,S)
+    hidden: jax.Array       # encoder hidden (B,T,2H)
+    queries: jax.Array      # final (post-adjust) queries (B,K,Q)
+
+
+def init_separator(key, cfg: Config, num_frames: Optional[int] = None):
+    keys = jax.random.split(key, 6)
+    params = {
+        "encoder": init_encoder(keys[0], cfg),
+        "classifier": init_classifier(keys[1], cfg),
+        "embedding": init_embedding(keys[2], cfg),
+        "mask_head": init_mask_head(keys[3], cfg),
+    }
+    if cfg.is_self_tune:
+        params["adjust"] = init_adjust(keys[4], cfg)
+    if cfg.use_discriminator:
+        params["discriminator"] = init_discriminator(keys[5], cfg, num_frames)
+    return params
+
+
+def classify_speakers(params, feat: jax.Array, cfg: Config,
+                      logits: bool = False) -> jax.Array:
+    return apply_classifier(params["classifier"], feat, cfg, logits=logits)
+
+
+def _finish(params, cfg, emb_map, hidden, queries, feat, mix_ri, probs):
+    if cfg.is_self_tune:
+        queries = apply_adjust(params["adjust"], hidden, queries)
+    masks = apply_mask_head(params["mask_head"], emb_map, queries, cfg)
+    if cfg.is_complex_mask:
+        # uncompress the K*tanh-bounded head output, then complex-multiply
+        # with the mixture spectrum (main_run_sstune_cRM_EvalVer.py:512,552-553)
+        full_masks = crm_uncompress(masks, cfg.crm_k, cfg.crm_c)
+        pred = complex_mask_apply(full_masks, mix_ri[:, None])
+    else:
+        pred = masks * feat[:, None]
+    return SeparatorOutput(masks, pred, probs, hidden, queries)
+
+
+def separate(params, feat: jax.Array, cfg: Config,
+             spk_idx: Optional[jax.Array] = None,
+             queries: Optional[jax.Array] = None,
+             mix_ri: Optional[jax.Array] = None) -> SeparatorOutput:
+    """Top-k path. feat (B,T,F) magnitude features.
+
+    spk_idx (B,K): the speakers to extract — teacher-forced at training
+    (cfg.ground_truth) or classifier top-k at inference; if None, the
+    classifier's top-k is used. `queries` (B,K,Q) overrides the embedding
+    lookup for image/video/memory conditioning. `mix_ri` (B,T,F,2) is the
+    packed complex mixture, required for the cRM path.
+    """
+    emb_map, hidden = apply_encoder(params["encoder"], feat, cfg)
+    probs = apply_classifier(params["classifier"], feat, cfg)
+    if queries is None:
+        if spk_idx is None:
+            spk_idx, _ = top_k_indices(probs, cfg.top_k)
+        queries = apply_embedding(params["embedding"], spk_idx)
+    return _finish(params, cfg, emb_map, hidden, queries, feat, mix_ri, probs)
+
+
+def separate_dense(params, feat: jax.Array, cfg: Config,
+                   channel_gate: jax.Array,
+                   mix_ri: Optional[jax.Array] = None) -> SeparatorOutput:
+    """All-speaker channel layout (main_run.py:473-489): channel_gate (B,S)
+    in {0,1}; masks for gated-off speakers are forced to zero exactly as the
+    reference multiplies by the expanded top_k_mask (:488-489)."""
+    emb_map, hidden = apply_encoder(params["encoder"], feat, cfg)
+    probs = apply_classifier(params["classifier"], feat, cfg)
+    queries = apply_embedding_gated(params["embedding"], channel_gate)
+    out = _finish(params, cfg, emb_map, hidden, queries, feat, mix_ri, probs)
+    gate = channel_gate[..., None, None]
+    masks = out.masks * (gate[..., None] if cfg.is_complex_mask else gate)
+    pred = out.pred * (gate[..., None] if cfg.is_complex_mask else gate)
+    return out._replace(masks=masks, pred=pred)
+
+
+def recursive_separate(params, feat: jax.Array, cfg: Config
+                       ) -> tuple[jax.Array, jax.Array]:
+    """TDAA's signature recursive extraction (§3.4 of SURVEY.md).
+
+    Peel one speaker per step: classify the residual, take the most probable
+    speaker not yet extracted, mask it out, and feed `(1-mask) * residual`
+    back in (main_run_multi_selfSS_recu.py:341-400). Static `cfg.
+    recursive_max_steps` iterations (the reference stops after 2).
+
+    Returns (extracted (B, steps, T, F), speaker indices (B, steps)).
+    """
+    b, t, f = feat.shape
+    s = cfg.num_speakers
+
+    def step(carry, _):
+        residual, seen = carry                       # (B,T,F), (B,S) bool
+        emb_map, hidden = apply_encoder(params["encoder"], residual, cfg)
+        probs = apply_classifier(params["classifier"], residual, cfg)
+        probs = jnp.where(seen, -jnp.inf, probs)
+        spk = jnp.argmax(probs, axis=-1)             # (B,)
+        queries = apply_embedding(params["embedding"], spk[:, None])
+        if cfg.is_self_tune:
+            queries = apply_adjust(params["adjust"], hidden, queries)
+        mask = apply_mask_head(params["mask_head"], emb_map, queries, cfg)
+        mask = mask[:, 0]                            # (B,T,F)
+        extracted = mask * residual
+        residual = (1.0 - mask) * residual
+        seen = seen | jax.nn.one_hot(spk, s, dtype=bool)
+        return (residual, seen), (extracted, spk)
+
+    init = (feat, jnp.zeros((b, s), bool))
+    _, (extracted, spks) = jax.lax.scan(
+        step, init, None, length=cfg.recursive_max_steps)
+    return (jnp.moveaxis(extracted, 0, 1), jnp.moveaxis(spks, 0, 1))
