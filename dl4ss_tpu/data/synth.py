@@ -1,0 +1,134 @@
+"""Mixture synthesis — on device, inside jit.
+
+Rebuilds the reference's generator inner loop (SURVEY.md §3.5;
+Torch_multi/predata_multiAims.py:122-214): crop to MAX_LEN -> mean-subtract
+-> peak-normalize -> optional random circular shift -> zero-pad -> per-channel
+dB gain -> sum into the mixture. In the reference this plus 3+ librosa STFTs
+per item is the CPU hot loop #1; here the utterance bank lives in HBM and the
+whole synthesis + STFT featurization is one traced XLA program keyed by a
+`jax.random` key — zero host work per batch.
+
+Also provides a synthetic "speech-like" bank (per-speaker f0, harmonic
+stack, AM envelope) so every preset can train/bench without WSJ0 on disk,
+mirroring the role of `prepare_data_fake` (predata_multiAims.py:63-73).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dl4ss_tpu.config import Config
+from dl4ss_tpu.ops.crm import pack_ri
+from dl4ss_tpu.ops.stft import spectral_feature, stft
+
+
+class MixtureBatch(NamedTuple):
+    mix_wav: jax.Array      # (B, N)
+    source_wavs: jax.Array  # (B, K, N) gain-scaled sources (sum == mix)
+    spk_idx: jax.Array      # (B, K) int32 speaker ids
+    gains: jax.Array        # (B, K) linear per-channel gains
+
+
+def normalize_utterance(wav: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """mean-subtract then peak-normalize (predata_multiAims.py:150-151)."""
+    wav = wav - jnp.mean(wav, axis=-1, keepdims=True)
+    peak = jnp.max(jnp.abs(wav), axis=-1, keepdims=True)
+    return wav / jnp.maximum(peak, eps)
+
+
+def make_synthetic_bank(seed: int, num_speakers: int, utts_per_speaker: int,
+                        num_samples: int, rate: int = 8000) -> np.ndarray:
+    """(S, U, N) float32 bank of harmonic speech-like utterances."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(num_samples) / rate
+    f0s = rng.uniform(80.0, 280.0, num_speakers)
+    bank = np.zeros((num_speakers, utts_per_speaker, num_samples), np.float32)
+    for s in range(num_speakers):
+        for u in range(utts_per_speaker):
+            f0 = f0s[s] * (1.0 + 0.04 * rng.standard_normal())
+            sig = np.zeros_like(t)
+            for h in range(1, 9):
+                amp = rng.uniform(0.2, 1.0) / h
+                vib = 1.0 + 0.01 * np.sin(2 * np.pi * rng.uniform(2, 6) * t)
+                sig += amp * np.sin(2 * np.pi * h * f0 * vib * t
+                                    + rng.uniform(0, 2 * np.pi))
+            env = 0.55 + 0.45 * np.sin(
+                2 * np.pi * rng.uniform(1.0, 3.0) * t + rng.uniform(0, 6.28))
+            sig = sig * env + 0.01 * rng.standard_normal(num_samples)
+            bank[s, u] = (sig / np.max(np.abs(sig))).astype(np.float32)
+    return bank
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "batch_size", "train"))
+def sample_mixtures(key: jax.Array, bank: jax.Array, cfg: Config,
+                    batch_size: Optional[int] = None,
+                    train: bool = True) -> MixtureBatch:
+    """Draw a batch of k-speaker mixtures from an (S, U, N) utterance bank.
+
+    k is static (= cfg.max_mix); mixtures with fewer live speakers are
+    expressed by zero gains when min_mix < max_mix (channel gating keeps
+    shapes static, the same trick the reference's 0/1 speaker mask plays).
+    """
+    b = batch_size or cfg.batch_size
+    k = cfg.max_mix
+    s, u, n = bank.shape
+    k_spk, k_utt, k_db, k_ch, k_shift, k_live = jax.random.split(key, 6)
+
+    # distinct speakers per item
+    def pick(kk):
+        return jax.random.choice(kk, s, (k,), replace=False)
+    spk_idx = jax.vmap(pick)(jax.random.split(k_spk, b))          # (B, K)
+    utt_idx = jax.random.randint(k_utt, (b, k), 0, u)
+    wavs = bank[spk_idx, utt_idx]                                  # (B, K, N)
+    wavs = normalize_utterance(wavs)
+
+    if train and cfg.augment_data:
+        shifts = jax.random.randint(k_shift, (b, k), 0, n)
+        wavs = jax.vmap(jax.vmap(lambda w, sh: jnp.roll(w, sh)))(wavs, shifts)
+
+    # SNR augment: one random channel scaled by 10^(dB/20 * rand)
+    # (predata_multiAims_dB.py:123-130)
+    gains = jnp.ones((b, k))
+    if cfg.db_range > 0 and train and cfg.augment_data:
+        ratio = 10.0 ** (cfg.db_range / 20.0 * jax.random.uniform(k_db, (b,)))
+        chan = jax.random.randint(k_ch, (b,), 0, k)
+        gains = gains.at[jnp.arange(b), chan].set(ratio)
+
+    # variable speaker count: channels beyond the drawn k_live are zeroed
+    if cfg.min_mix < cfg.max_mix:
+        live = jax.random.randint(k_live, (b,), cfg.min_mix, cfg.max_mix + 1)
+        lane = jnp.arange(k)[None, :] < live[:, None]
+        gains = gains * lane.astype(gains.dtype)
+
+    sources = wavs * gains[..., None]
+    return MixtureBatch(mix_wav=jnp.sum(sources, axis=1),
+                        source_wavs=sources, spk_idx=spk_idx, gains=gains)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def featurize(batch: MixtureBatch, cfg: Config):
+    """Batch -> on-device features, mirroring the reference batch-dict keys
+    (predata_multiAims.py:229-239): mix magnitude features, mixture complex
+    spectrum (packed RI), per-source clean features.
+    """
+    mix_feat, mix_spec = spectral_feature(
+        batch.mix_wav, cfg.frame_length, cfg.frame_shift,
+        log_spectral=cfg.log_spectral)
+    src_spec = stft(batch.source_wavs, cfg.frame_length, cfg.frame_shift)
+    out = {
+        "mix_wav": batch.mix_wav,
+        "mix_feas": mix_feat,                       # (B, T, F)
+        "mix_ri": pack_ri(mix_spec),                # (B, T, F, 2)
+        "spk_idx": batch.spk_idx,                   # (B, K)
+        "channel_live": (batch.gains > 0),          # (B, K)
+        "source_wavs": batch.source_wavs,           # (B, K, N)
+    }
+    if cfg.is_complex_mask:
+        out["src_ri"] = pack_ri(src_spec)           # (B, K, T, F, 2)
+    out["src_feas"] = jnp.abs(src_spec)             # (B, K, T, F)
+    return out

@@ -1,0 +1,77 @@
+"""Minimal WAV I/O in numpy (PCM16/24/32 + float32).
+
+The reference reads with `soundfile` and writes separated outputs with
+`sf.write` (Torch_multi/predata_multiAims.py:138, main_run.py:52-58);
+soundfile is not in this image, and a dependency-free reader keeps the host
+loader self-contained. Little-endian RIFF only — which is all WSJ0/GRID-style
+corpora use.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Tuple
+
+import numpy as np
+
+
+def read_wav(path) -> Tuple[np.ndarray, int]:
+    """Returns (float32 samples in [-1, 1] shaped (N,) or (N, C), rate)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt == 0xFFFE and len(raw) >= 0:  # WAVE_FORMAT_EXTENSIBLE
+        audio_fmt = 1
+    if audio_fmt == 1:  # PCM
+        if bits == 16:
+            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            x = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            b = np.frombuffer(raw, "u1").reshape(-1, 3)
+            x = ((b[:, 0].astype(np.int32)) | (b[:, 1].astype(np.int32) << 8)
+                 | (b[:, 2].astype(np.int32) << 16))
+            x = (x << 8 >> 8).astype(np.float32) / 8388608.0
+        else:
+            raise ValueError(f"{path}: unsupported PCM bits={bits}")
+    elif audio_fmt == 3:  # IEEE float
+        x = np.frombuffer(raw, "<f4").astype(np.float32)
+    else:
+        raise ValueError(f"{path}: unsupported format code {audio_fmt}")
+    if channels > 1:
+        x = x.reshape(-1, channels)
+    return x, rate
+
+
+def write_wav(path, samples: np.ndarray, rate: int) -> None:
+    """Write float samples (clipped to [-1, 1]) as PCM16."""
+    x = np.asarray(samples)
+    if x.ndim == 1:
+        channels = 1
+    else:
+        channels = x.shape[1]
+    pcm = np.clip(np.round(np.clip(x, -1.0, 1.0) * 32767.0), -32768, 32767
+                  ).astype("<i2").tobytes()
+    byte_rate = rate * channels * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                 byte_rate, channels * 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    with open(path, "wb") as f:
+        f.write(hdr + pcm)

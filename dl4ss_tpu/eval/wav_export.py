@@ -1,0 +1,53 @@
+"""Separated-wav export following the reference's batch_output contract.
+
+File naming (Torch_multi/main_run.py:29-60, bss_test.py:12-61):
+  {idx}_{spk}_pre.wav       predicted separation for speaker `spk`
+  {idx}_{spk}_genTrue.wav   masked-ground-truth resynthesis
+  {idx}_{spk}_realTrue.wav  raw clean source (subeval variant, :66-72)
+  {idx}_True_mix.wav        the mixture
+
+so results remain eyeball- and tool-compatible with the reference's output
+directories.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from dl4ss_tpu.data.wavio import write_wav
+
+
+def export_batch_outputs(out_dir, mix_wavs: np.ndarray,
+                         pred_wavs: np.ndarray,
+                         true_wavs: Optional[np.ndarray],
+                         spk_names: Sequence[Sequence[str]],
+                         rate: int = 8000, clean: bool = True,
+                         real_wavs: Optional[np.ndarray] = None) -> int:
+    """mix (B, N), pred/true (B, K, N), spk_names[b][k]. Returns #files."""
+    if clean and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    count = 0
+    b, k, _ = np.asarray(pred_wavs).shape
+    for bi in range(b):
+        for ki in range(k):
+            spk = spk_names[bi][ki]
+            write_wav(os.path.join(out_dir, f"{bi}_{spk}_pre.wav"),
+                      np.asarray(pred_wavs[bi, ki]), rate)
+            count += 1
+            if true_wavs is not None:
+                write_wav(os.path.join(out_dir, f"{bi}_{spk}_genTrue.wav"),
+                          np.asarray(true_wavs[bi, ki]), rate)
+                count += 1
+            if real_wavs is not None:
+                write_wav(os.path.join(out_dir, f"{bi}_{spk}_realTrue.wav"),
+                          np.asarray(real_wavs[bi, ki]), rate)
+                count += 1
+        write_wav(os.path.join(out_dir, f"{bi}_True_mix.wav"),
+                  np.asarray(mix_wavs[bi]), rate)
+        count += 1
+    return count

@@ -1,0 +1,153 @@
+"""Data pipeline: wav io, resample, on-device synthesis, lists, dir trees."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+from dl4ss_tpu import preset
+from dl4ss_tpu.data import (DirTreeSampler, MixtureBatch, featurize,
+                            make_synthetic_bank, normalize_utterance,
+                            parse_mix_list, read_wav, resample_poly_kaiser,
+                            sample_mixtures, scan_speaker_tree, write_wav)
+from dl4ss_tpu.data.wsj0mix import mix_list_name, parse_mix_line
+from dl4ss_tpu.data.dirtree import split_for_train_dev_test
+
+CFG = preset("synth_tiny")
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = (0.8 * np.sin(np.arange(4000) * 0.05)).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(p, x, 8000)
+    y, rate = read_wav(p)
+    assert rate == 8000
+    # PCM16 quantization + the standard 32767-write/32768-read asymmetry
+    np.testing.assert_allclose(y, x, atol=6e-5)
+
+
+def test_resample_tone():
+    rate_in, rate_out = 16000, 8000
+    t = np.arange(rate_in) / rate_in
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = resample_poly_kaiser(x, rate_in, rate_out)
+    assert len(y) == rate_out
+    t2 = np.arange(rate_out) / rate_out
+    want = np.sin(2 * np.pi * 440 * t2)
+    # ignore filter edges
+    np.testing.assert_allclose(y[200:-200], want[200:-200], atol=5e-3)
+
+
+def test_normalize_utterance():
+    x = jnp.asarray(np.array([1.0, 2.0, 3.0], np.float32))
+    y = np.asarray(normalize_utterance(x))
+    assert abs(y.mean()) < 1e-6
+    assert abs(np.abs(y).max() - 1.0) < 1e-6
+
+
+def test_synthetic_bank_properties():
+    bank = make_synthetic_bank(0, 4, 3, 4000)
+    assert bank.shape == (4, 3, 4000)
+    assert np.abs(bank).max() <= 1.0 + 1e-6
+    # different speakers produce different signals
+    assert np.abs(bank[0, 0] - bank[1, 0]).max() > 0.1
+
+
+def test_sample_mixtures_static_and_consistent():
+    bank = jnp.asarray(make_synthetic_bank(0, CFG.num_speakers, 2, CFG.max_len))
+    key = jax.random.PRNGKey(3)
+    batch = sample_mixtures(key, bank, CFG)
+    assert batch.mix_wav.shape == (CFG.batch_size, CFG.max_len)
+    assert batch.source_wavs.shape == (CFG.batch_size, CFG.max_mix, CFG.max_len)
+    # mixture is the sum of the gain-scaled sources
+    np.testing.assert_allclose(np.asarray(batch.mix_wav),
+                               np.asarray(batch.source_wavs.sum(axis=1)),
+                               atol=1e-5)
+    # speakers distinct within an item
+    idx = np.asarray(batch.spk_idx)
+    assert all(len(set(row)) == len(row) for row in idx)
+    # deterministic under the same key
+    batch2 = sample_mixtures(key, bank, CFG)
+    np.testing.assert_array_equal(np.asarray(batch.spk_idx),
+                                  np.asarray(batch2.spk_idx))
+
+
+def test_sample_mixtures_db_augment():
+    cfg = CFG.replace(augment_data=True, db_range=5.0)
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len))
+    batch = sample_mixtures(jax.random.PRNGKey(0), bank, cfg)
+    g = np.asarray(batch.gains)
+    # exactly one channel per row may exceed 1, bounded by 10^(5/20)
+    assert g.max() <= 10 ** (5 / 20.0) + 1e-5
+    assert (np.sort(g, axis=1)[:, :-1] == 1.0).all()
+
+
+def test_sample_mixtures_variable_k():
+    cfg = CFG.replace(min_mix=1, max_mix=3, top_k=3)
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len))
+    batch = sample_mixtures(jax.random.PRNGKey(1), bank, cfg)
+    live = np.asarray(batch.gains > 0).sum(axis=1)
+    assert live.min() >= 1 and live.max() <= 3
+
+
+def test_featurize_shapes():
+    bank = jnp.asarray(make_synthetic_bank(0, CFG.num_speakers, 2, CFG.max_len))
+    batch = sample_mixtures(jax.random.PRNGKey(0), bank, CFG)
+    feats = featurize(batch, CFG)
+    t, f = CFG.num_frames, CFG.freq_bins
+    assert feats["mix_feas"].shape == (CFG.batch_size, t, f)
+    assert feats["mix_ri"].shape == (CFG.batch_size, t, f, 2)
+    assert feats["src_feas"].shape == (CFG.batch_size, CFG.max_mix, t, f)
+    # magnitude == |complex| consistency
+    mag = np.hypot(np.asarray(feats["mix_ri"][..., 0]),
+                   np.asarray(feats["mix_ri"][..., 1]))
+    np.testing.assert_allclose(np.asarray(feats["mix_feas"]), mag, atol=1e-4)
+
+
+def test_wsj0mix_line_parsing():
+    line = ("wsj0/si_tr_s/011/011a0101.wav 0.93421 "
+            "wsj0/si_tr_s/022/022c0207.wav -0.93421")
+    e = parse_mix_line(line)
+    assert e.speakers == ("011", "022")
+    assert e.utterances == ("011a0101", "022c0207")
+    assert e.gains_db == (0.93421, -0.93421)
+    assert mix_list_name(2, "train") == "mix_2_spk_tr.txt"
+    assert mix_list_name(3, "test") == "mix_3_spk_tt.txt"
+
+
+def test_wsj0mix_list_file(tmp_path):
+    p = tmp_path / "mix_2_spk_cv.txt"
+    p.write_text("a/b/01a/01aa0101.wav 1.0 a/b/02b/02bb0202.wav -1.0\n\n"
+                 "a/b/01a/01ac0303.wav 0.5 a/b/03c/03cc0404.wav -0.5\n")
+    entries = parse_mix_list(p)
+    assert len(entries) == 2
+    assert entries[1].speakers == ("01a", "03c")
+
+
+def test_dirtree_sampler(tmp_path, rng):
+    cfg = CFG.replace(max_len_seconds=0.25)
+    root = tmp_path / "data"
+    for spk in ["s1", "s2", "s3"]:
+        d = root / "train" / spk
+        os.makedirs(d)
+        for u in range(2):
+            write_wav(d / f"{u}.wav",
+                      rng.standard_normal(1500).astype(np.float32) * 0.3, 8000)
+    tree = scan_speaker_tree(root, "train")
+    assert sorted(tree) == ["s1", "s2", "s3"]
+    sampler = DirTreeSampler(root, cfg, "train", utts_per_speaker=2)
+    assert sampler.bank.shape == (3, 2, cfg.max_len)
+    assert sampler.spk2idx["s2"] == 1
+    # bank feeds the device sampler directly
+    batch = sample_mixtures(jax.random.PRNGKey(0), jnp.asarray(sampler.bank),
+                            cfg.replace(num_speakers=3), batch_size=2)
+    assert batch.mix_wav.shape == (2, cfg.max_len)
+
+
+def test_split_70_10_20():
+    items = [f"x{i:02d}" for i in range(10)]
+    tr, dev, te = split_for_train_dev_test(items)
+    assert (len(tr), len(dev), len(te)) == (7, 1, 2)
+    assert tr + dev + te == sorted(items)
