@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Headline benchmark: WSJ0-2mix mixtures/sec/chip, end-to-end
+STFT -> BiGRU separator -> masks -> iSTFT at the reference workload shape
+(8 kHz, 256/128 STFT, 129 bins x 313 frames, B=16, 2-layer BiGRU-300,
+emb 50, 2 speakers — Torch_multi/config.py:98-133).
+
+Baseline = the reference's own architecture run the way the reference runs
+it (BASELINE.md): per-utterance CPU numpy STFT/iSTFT feeding a torch CPU
+BiGRU forward. vs_baseline = TPU rate / CPU rate.
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+B = 16
+N_SAMPLES = 40000
+RATE_ITERS = 30
+
+
+def tpu_pipeline_rate():
+    import jax
+    import jax.numpy as jnp
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.models import init_separator, separate
+    from dl4ss_tpu.ops import istft, magnitude_and_phase, stft
+
+    cfg = preset("torch_multi").replace(batch_size=B)
+    params = init_separator(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    wavs = jnp.asarray(rng.standard_normal((B, N_SAMPLES)).astype(np.float32))
+    spk_idx = jnp.asarray(rng.integers(0, cfg.num_speakers, (B, 2)))
+
+    @jax.jit
+    def forward(params, wav, spk_idx):
+        spec = stft(wav, cfg.frame_length, cfg.frame_shift)
+        mag, phasor = magnitude_and_phase(spec)
+        out = separate(params, mag, cfg, spk_idx=spk_idx)
+        return istft(out.pred * phasor[:, None], cfg.frame_length,
+                     cfg.frame_shift, length=N_SAMPLES)
+
+    out = jax.block_until_ready(forward(params, wavs, spk_idx))
+    assert np.isfinite(np.asarray(out[:, :, :8])).all()
+    t0 = time.perf_counter()
+    for _ in range(RATE_ITERS):
+        out = forward(params, wavs, spk_idx)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / RATE_ITERS
+    return B / dt, dt
+
+
+def cpu_reference_rate(max_batches=2):
+    """The reference's own pipeline shape on CPU: numpy STFT (librosa
+    equivalent), torch BiGRU encoder + embedding-dot masks, numpy iSTFT."""
+    import torch
+
+    hidden, emb, freq, n_fft, hop = 300, 50, 129, 256, 128
+    torch.set_num_threads(1)  # the reference is a single-process pipeline
+    enc = torch.nn.GRU(freq, hidden, 2, batch_first=True, bidirectional=True)
+    proj = torch.nn.Linear(2 * hidden, freq * emb)
+    table = torch.randn(103, emb)
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    rng = np.random.default_rng(0)
+    wavs = rng.standard_normal((B, N_SAMPLES)).astype(np.float32)
+
+    def np_stft(x):
+        xp = np.pad(x, (n_fft // 2, n_fft // 2), mode="reflect")
+        t = 1 + (len(xp) - n_fft) // hop
+        frames = np.stack([xp[i * hop:i * hop + n_fft] for i in range(t)])
+        return np.fft.rfft(frames * win, axis=-1)
+
+    def np_istft(spec):
+        frames = np.fft.irfft(spec, n=n_fft, axis=-1) * win
+        t = spec.shape[0]
+        out = np.zeros((t - 1) * hop + n_fft)
+        wsum = np.zeros_like(out)
+        for i in range(t):
+            out[i * hop:i * hop + n_fft] += frames[i]
+            wsum[i * hop:i * hop + n_fft] += win ** 2
+        nz = wsum > 1e-10
+        out[nz] /= wsum[nz]
+        return out[n_fft // 2:-(n_fft // 2)]
+
+    t0 = time.perf_counter()
+    done = 0
+    with torch.no_grad():
+        for _ in range(max_batches):
+            specs = [np_stft(w) for w in wavs]              # CPU hot loop #1
+            mags = torch.tensor(np.abs(np.stack(specs)), dtype=torch.float32)
+            h, _ = enc(mags)
+            grid = torch.tanh(proj(h)).reshape(B, -1, freq, emb)
+            q = table[np.stack([rng.integers(0, 103, 2) for _ in range(B)])]
+            masks = torch.sigmoid(torch.einsum("btfe,bke->bktf", grid, q))
+            pred = (masks * mags[:, None]).numpy()
+            for bi in range(B):                             # CPU hot loop #2
+                for ki in range(2):
+                    np_istft(pred[bi, ki] * np.exp(1j * np.angle(specs[bi])))
+            done += B
+    dt = (time.perf_counter() - t0) / done
+    return 1.0 / dt, dt
+
+
+def main():
+    tpu_rate, tpu_dt = tpu_pipeline_rate()
+    cpu_rate, _ = cpu_reference_rate()
+    print(f"tpu: {tpu_rate:.1f} mixtures/s ({tpu_dt*1e3:.2f} ms / {B}-batch); "
+          f"cpu reference: {cpu_rate:.2f} mixtures/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "wsj0-2mix mixtures/sec/chip (stft->bigru->mask->istft)",
+        "value": round(tpu_rate, 1),
+        "unit": "mixtures/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""The epoch/batch training driver.
+
+Mirrors the reference main loops (MAX_EPOCH x EPOCH_SIZE with periodic
+checkpointing and per-epoch SDR tracking, Torch_multi/main_run.py:453-527,
+main_run_multi_selfSS.py:458-463) but with the whole step fused on device
+and the data source a device-resident utterance bank.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dl4ss_tpu.config import Config
+from dl4ss_tpu.data.synth import featurize, make_synthetic_bank, sample_mixtures
+from dl4ss_tpu.parallel.mesh import make_mesh
+from dl4ss_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from dl4ss_tpu.train.metrics import MetricsWriter
+from dl4ss_tpu.train.state import create_train_state
+from dl4ss_tpu.train.steps import (make_adversarial_step, make_classifier_step,
+                                   make_eval_step, make_fused_step,
+                                   make_train_step)
+
+
+def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
+               max_epochs: Optional[int] = None,
+               epoch_size: Optional[int] = None,
+               seed: int = 1,
+               mode: str = "joint",
+               metrics_path: Optional[str] = None,
+               checkpoint_dir: Optional[str] = None,
+               resume: bool = False,
+               eval_every: int = 1):
+    """mode: joint | adversarial | classifier.
+
+    Returns (final state, list of per-epoch mean SI-SDR).
+    Seeds follow the reference convention (np/torch/random seed 1,
+    main_run.py:21-23): one integer seed drives bank, init, and sampling.
+    """
+    epochs = max_epochs if max_epochs is not None else cfg.max_epoch
+    epoch_size = epoch_size if epoch_size is not None else cfg.epoch_size
+    if bank is None:
+        bank = jnp.asarray(make_synthetic_bank(
+            seed, cfg.num_speakers, 4, cfg.max_len))
+    key = jax.random.PRNGKey(seed)
+    state = create_train_state(key, cfg, steps_per_epoch=epoch_size)
+    if resume and checkpoint_dir and os.path.isdir(checkpoint_dir):
+        state = restore_checkpoint(checkpoint_dir, state)
+
+    writer = MetricsWriter(metrics_path)
+    if mode == "joint":
+        fused = make_fused_step(cfg, epoch_size)
+
+        def run_one(state):
+            return fused(state, bank)
+    else:
+        step_fn = {"adversarial": make_adversarial_step,
+                   "classifier": make_classifier_step}[mode](cfg, epoch_size)
+
+        def run_one(state):
+            rng, sub = jax.random.split(state.rng)
+            batch = sample_mixtures(sub, bank, cfg)
+            feats = featurize(batch, cfg)
+            return step_fn(state._replace(rng=rng), feats)
+
+    eval_step = make_eval_step(cfg)
+    sdr_history = []
+    start_epoch = int(state.step) // max(epoch_size, 1)
+    for epoch in range(start_epoch, epochs):
+        last_metrics = {}
+        for _ in range(epoch_size):
+            state, m = run_one(state)
+            last_metrics = m
+        if eval_every and (epoch + 1) % eval_every == 0:
+            rng, sub = jax.random.split(state.rng)
+            state = state._replace(rng=rng)
+            batch = sample_mixtures(sub, bank, cfg, train=False)
+            feats = featurize(batch, cfg)
+            ev = eval_step(state.params, feats)
+            sdr = float(jnp.mean(ev["si_sdr"]))
+            sdr_history.append(sdr)
+            writer.write("epoch", int(state.step), epoch=epoch, si_sdr=sdr,
+                         **{k: v for k, v in last_metrics.items()})
+        else:
+            writer.write("epoch", int(state.step), epoch=epoch,
+                         **{k: v for k, v in last_metrics.items()})
+        if checkpoint_dir and (epoch + 1) % cfg.checkpoint_every_epochs == 0:
+            save_checkpoint(checkpoint_dir, state)
+    writer.close()
+    return state, sdr_history

@@ -1,0 +1,271 @@
+"""Jitted training / evaluation steps — one per reference entry-point family.
+
+Each `make_*_step(cfg, ...)` returns a pure function (state, batch) ->
+(state, metrics) that is jit-compiled once; the whole reference training
+loop body (Torch_multi/main_run.py:455-522 and TDAA's two-phase adversarial
+loop, main_run_sstune_dis.py:596-718) becomes a single XLA program, with the
+mixture synthesis and STFT featurization optionally fused in
+(`make_fused_step`) so no host work happens between optimizer steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dl4ss_tpu.config import Config
+from dl4ss_tpu.data.synth import featurize, sample_mixtures
+from dl4ss_tpu.models.classifier import apply_classifier
+from dl4ss_tpu.models.discriminator import apply_discriminator
+from dl4ss_tpu.models.separator import separate, separate_dense
+from dl4ss_tpu.objectives.losses import (complex_mse_loss, gan_d_loss,
+                                         gan_g_loss, mask_mse_loss,
+                                         multilabel_softmargin_loss,
+                                         sum_to_one_loss)
+from dl4ss_tpu.objectives.pit import pit_loss, pit_permute
+from dl4ss_tpu.ops.stft import istft
+from dl4ss_tpu.ops.crm import unpack_ri
+from dl4ss_tpu.eval.sisdr import si_sdr_pit
+from dl4ss_tpu.train.state import TrainState, make_optimizer
+
+
+def _gen_params(params):
+    return {k: v for k, v in params.items() if k != "discriminator"}
+
+
+def _separation_loss(params, feats, cfg: Config):
+    """Mask loss of the top-k path (identity or PIT assignment)."""
+    live = feats["channel_live"].astype(jnp.float32)
+    out = separate(params, feats["mix_feas"], cfg, spk_idx=feats["spk_idx"],
+                   mix_ri=feats.get("mix_ri"))
+    if cfg.is_complex_mask:
+        target = feats["src_ri"]
+        pred = out.pred * live[..., None, None, None]
+        if cfg.loss_mode == "pit":
+            loss, perm = pit_loss(pred, target)
+        else:
+            loss = complex_mse_loss(pred, target, live)
+            perm = None
+    else:
+        target = feats["src_feas"]
+        pred = out.pred * live[..., None, None]
+        if cfg.loss_mode == "pit":
+            loss, perm = pit_loss(pred, target)
+        else:
+            loss = mask_mse_loss(pred, target, live)
+            perm = None
+    aux = {"mask_loss": loss, "out": out, "perm": perm}
+    if cfg.sum_loss_weight > 0 and not cfg.is_complex_mask:
+        sl = sum_to_one_loss(out.masks * live[..., None, None])
+        loss = loss + cfg.sum_loss_weight * sl
+        aux["sum_loss"] = sl
+    return loss, aux
+
+
+def make_train_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
+    """The canonical joint trainer (A17/A18/A19; cRM variant B14 when
+    cfg.is_complex_mask): teacher-forced speakers, mask MSE (+PIT), Adam."""
+    opt = make_optimizer(cfg, steps_per_epoch)
+
+    @jax.jit
+    def step(state: TrainState, feats) -> tuple:
+        def loss_fn(gp):
+            params = dict(state.params, **gp)
+            loss, aux = _separation_loss(params, feats, cfg)
+            return loss, aux
+
+        gp = _gen_params(state.params)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(gp)
+        updates, opt_state = opt.update(grads, state.opt_state, gp)
+        gp = optax.apply_updates(gp, updates)
+        params = dict(state.params, **gp)
+        metrics = {"loss": loss, "mask_loss": aux["mask_loss"],
+                   "grad_norm": optax.global_norm(grads)}
+        if "sum_loss" in aux:
+            metrics["sum_loss"] = aux["sum_loss"]
+        return state._replace(step=state.step + 1, params=params,
+                              opt_state=opt_state), metrics
+
+    return step
+
+
+def make_fused_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
+    """Synthesis + STFT + train in ONE jit: (state, bank) -> (state, metrics).
+
+    This is the pipeline the reference runs as CPU generator -> numpy STFT ->
+    H2D copy -> GPU step (SURVEY.md §3.1), collapsed into a single program.
+    """
+    inner = make_train_step(cfg, steps_per_epoch)
+
+    @jax.jit
+    def step(state: TrainState, bank) -> tuple:
+        rng, sub = jax.random.split(state.rng)
+        batch = sample_mixtures(sub, bank, cfg)
+        if cfg.dp_size > 1:
+            # pin the batch axis to the mesh's data axis so every downstream
+            # op partitions over it and the grad psum rides ICI
+            from jax.sharding import PartitionSpec as P
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, P("data")),
+                batch)
+        feats = featurize(batch, cfg)
+        state, metrics = inner(state._replace(rng=rng), feats)
+        return state, metrics
+
+    return step
+
+
+def make_dense_train_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
+    """Exact-reference channel layout: every speaker owns a loss channel
+    (main_run.py:473-506); targets scattered by speaker id, all-channel MSE."""
+    opt = make_optimizer(cfg, steps_per_epoch)
+
+    @jax.jit
+    def step(state: TrainState, feats) -> tuple:
+        b = feats["mix_feas"].shape[0]
+        s = cfg.num_speakers
+        gate = jnp.zeros((b, s), jnp.float32)
+        gate = gate.at[jnp.arange(b)[:, None], feats["spk_idx"]].max(
+            feats["channel_live"].astype(jnp.float32))
+        t, f = feats["mix_feas"].shape[1:]
+        target = jnp.zeros((b, s, t, f), jnp.float32)
+        live = feats["channel_live"].astype(jnp.float32)
+        target = target.at[jnp.arange(b)[:, None], feats["spk_idx"]].add(
+            feats["src_feas"] * live[..., None, None])
+
+        def loss_fn(gp):
+            params = dict(state.params, **gp)
+            out = separate_dense(params, feats["mix_feas"], cfg, gate)
+            return mask_mse_loss(out.pred, target)
+
+        gp = _gen_params(state.params)
+        loss, grads = jax.value_and_grad(loss_fn)(gp)
+        updates, opt_state = opt.update(grads, state.opt_state, gp)
+        params = dict(state.params, **optax.apply_updates(gp, updates))
+        return state._replace(step=state.step + 1, params=params,
+                              opt_state=opt_state), {"loss": loss}
+
+    return step
+
+
+def make_classifier_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
+    """The standalone classifier trainer (A26/B16):
+    MultiLabelSoftMarginLoss on 'who is in the mixture'."""
+    opt = make_optimizer(cfg, steps_per_epoch)
+
+    @jax.jit
+    def step(state: TrainState, feats) -> tuple:
+        b = feats["mix_feas"].shape[0]
+        target = jnp.zeros((b, cfg.num_speakers), jnp.float32)
+        target = target.at[jnp.arange(b)[:, None], feats["spk_idx"]].max(
+            feats["channel_live"].astype(jnp.float32))
+
+        def loss_fn(gp):
+            params = dict(state.params, **gp)
+            logits = apply_classifier(params["classifier"],
+                                      feats["mix_feas"], cfg, logits=True)
+            return multilabel_softmargin_loss(logits, target), logits
+
+        gp = _gen_params(state.params)
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(gp)
+        updates, opt_state = opt.update(grads, state.opt_state, gp)
+        params = dict(state.params, **optax.apply_updates(gp, updates))
+        probs = jax.nn.sigmoid(logits)
+        pred = (probs > cfg.alpha).astype(jnp.float32)
+        acc = jnp.mean((pred == target).astype(jnp.float32))
+        return state._replace(step=state.step + 1, params=params,
+                              opt_state=opt_state), \
+            {"loss": loss, "element_acc": acc}
+
+    return step
+
+
+def make_adversarial_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
+    """TDAA's two-phase adversarial trainer (B9 dis-ss / B10 dis-sp):
+    phase 1 trains D on real-vs-predicted spectrograms (MSE-GAN), phase 2
+    trains the separator with mask MSE + sum-to-one + fooling term
+    (main_run_sstune_dis.py:615-700). `real` defaults to the clean target
+    spectra (dis-ss); pass feats["real_specs"] with different-utterance
+    same-speaker spectra for dis-sp (predata_fromList_dis.py:37-66).
+    """
+    g_opt = make_optimizer(cfg, steps_per_epoch)
+    d_opt = make_optimizer(cfg, steps_per_epoch)
+
+    @jax.jit
+    def step(state: TrainState, feats) -> tuple:
+        live = feats["channel_live"].astype(jnp.float32)
+        real = feats.get("real_specs", feats["src_feas"])
+
+        # ---- phase 1: discriminator ----
+        def d_loss_fn(d_params):
+            params = dict(state.params, discriminator=d_params)
+            out = separate(params, feats["mix_feas"], cfg,
+                           spk_idx=feats["spk_idx"])
+            pred = jax.lax.stop_gradient(out.pred * live[..., None, None])
+            score_real = apply_discriminator(params["discriminator"], real, cfg)
+            score_fake = apply_discriminator(params["discriminator"], pred, cfg)
+            return gan_d_loss(score_real, score_fake), (score_real, score_fake)
+
+        (d_loss, (sr, sf)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.params["discriminator"])
+        d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,
+                                              state.params["discriminator"])
+        d_params = optax.apply_updates(state.params["discriminator"],
+                                       d_updates)
+        params = dict(state.params, discriminator=d_params)
+
+        # ---- phase 2: generator ----
+        def g_loss_fn(gp):
+            p = dict(params, **gp)
+            mask_l, aux = _separation_loss(p, feats, cfg)
+            pred = aux["out"].pred * live[..., None, None]
+            score = apply_discriminator(
+                jax.lax.stop_gradient(p["discriminator"]), pred, cfg)
+            sum_l = sum_to_one_loss(aux["out"].masks * live[..., None, None])
+            total = mask_l + 0.5 * sum_l + gan_g_loss(score)
+            return total, (mask_l, sum_l)
+
+        gp = _gen_params(params)
+        (g_loss, (mask_l, sum_l)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(gp)
+        g_updates, opt_state = g_opt.update(g_grads, state.opt_state, gp)
+        params = dict(params, **optax.apply_updates(gp, g_updates))
+        metrics = {"d_loss": d_loss, "g_loss": g_loss, "mask_loss": mask_l,
+                   "sum_loss": sum_l,
+                   "d_acc_real": jnp.mean((sr > 0.5).astype(jnp.float32)),
+                   "d_acc_fake": jnp.mean((sf < 0.5).astype(jnp.float32))}
+        return state._replace(step=state.step + 1, params=params,
+                              opt_state=opt_state,
+                              d_opt_state=d_opt_state), metrics
+
+    return step
+
+
+def make_eval_step(cfg: Config) -> Callable:
+    """Inference + on-device resynthesis + SI-SDR (the in-loop score the
+    reference computes by wav files + bss_eval, TestVer:512-513)."""
+
+    @functools.partial(jax.jit, static_argnames=("teacher_forced",))
+    def step(params, feats, teacher_forced: bool = True):
+        spk_idx = feats["spk_idx"] if teacher_forced else None
+        out = separate(params, feats["mix_feas"], cfg, spk_idx=spk_idx,
+                       mix_ri=feats.get("mix_ri"))
+        if cfg.is_complex_mask:
+            pred_spec = unpack_ri(out.pred)
+        else:
+            mix = unpack_ri(feats["mix_ri"])
+            mag = jnp.abs(mix)
+            phasor = mix / jnp.maximum(mag, 1e-8).astype(mix.dtype)
+            pred_spec = out.pred * phasor[:, None]
+        wavs = istft(pred_spec, cfg.frame_length, cfg.frame_shift,
+                     length=cfg.max_len)
+        scores, perm = si_sdr_pit(wavs, feats["source_wavs"])
+        return {"pred_wavs": wavs, "si_sdr": scores, "perm": perm,
+                "probs": out.probs}
+
+    return step

@@ -1,0 +1,71 @@
+"""Multi-device sharding: fused train step over a (data, model) mesh on the
+8-virtual-device CPU backend, numerically equal to single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dl4ss_tpu import preset
+from dl4ss_tpu.data import make_synthetic_bank
+from dl4ss_tpu.parallel import (batch_sharding, make_mesh, param_sharding,
+                                replicated, shard_batch)
+from dl4ss_tpu.train import create_train_state
+from dl4ss_tpu.train.steps import make_fused_step
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(dp=4, mp=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh1 = make_mesh()  # all 8 devices on data
+    assert mesh1.shape["data"] == 8
+
+
+def test_param_sharding_rules():
+    mesh = make_mesh(dp=4, mp=2)
+    cfg = preset("synth_tiny")
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    sh = param_sharding(mesh, state.params)
+    emb_spec = sh["embedding"]["table"].spec
+    assert emb_spec == P("model", None)
+    assert sh["encoder"]["proj"]["w"].spec == P()
+
+
+def test_fused_step_dp_matches_single_device():
+    cfg = preset("synth_tiny").replace(batch_size=8, dp_size=4)
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2,
+                                           cfg.max_len))
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_fused_step(cfg)
+
+    mesh = make_mesh(dp=4, mp=2)
+    sh_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, replicated(mesh)), state)
+    sh_state = sh_state._replace(params=jax.tree_util.tree_map(
+        jax.device_put, state.params, param_sharding(mesh, state.params)))
+    sh_bank = jax.device_put(bank, replicated(mesh))
+    with jax.sharding.set_mesh(mesh):
+        sh_new, sh_m = step(sh_state, sh_bank)
+        sh_new, sh_m2 = step(sh_new, sh_bank)
+
+    single = preset("synth_tiny").replace(batch_size=8, dp_size=1)
+    step1 = make_fused_step(single)
+    new1, m1 = step1(state, bank)
+    new1, m12 = step1(new1, bank)
+
+    # same rng stream + same math => same loss up to reduction order
+    np.testing.assert_allclose(float(sh_m["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(sh_m2["loss"]), float(m12["loss"]),
+                               rtol=1e-4)
+    # params after two sharded steps match the single-device run
+    a = np.asarray(sh_new.params["encoder"]["proj"]["w"])
+    b = np.asarray(new1.params["encoder"]["proj"]["w"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_shard_batch_places_leading_axis():
+    mesh = make_mesh(dp=8, mp=1)
+    x = {"a": np.zeros((16, 5), np.float32)}
+    out = shard_batch(x, mesh)
+    assert out["a"].sharding.spec == batch_sharding(mesh).spec

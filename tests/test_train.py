@@ -1,0 +1,165 @@
+"""Train harness: steps run, losses decrease, checkpoints roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl4ss_tpu import preset
+from dl4ss_tpu.data import featurize, make_synthetic_bank, sample_mixtures
+from dl4ss_tpu.train import (TrainState, create_train_state, make_train_step,
+                             restore_checkpoint, save_checkpoint, train_loop)
+from dl4ss_tpu.train.state import make_schedule
+from dl4ss_tpu.train.steps import (make_adversarial_step, make_classifier_step,
+                                   make_dense_train_step, make_eval_step,
+                                   make_fused_step)
+
+CFG = preset("synth_tiny")
+BANK = jnp.asarray(make_synthetic_bank(0, CFG.num_speakers, 2, CFG.max_len))
+
+
+def _feats(cfg=CFG, key=0):
+    batch = sample_mixtures(jax.random.PRNGKey(key), BANK, cfg)
+    return featurize(batch, cfg)
+
+
+def test_schedules():
+    s = make_schedule(CFG.replace(lr_schedule="halve_per_epoch",
+                                  learning_rate=1e-3, lr_floor=1e-7), 10)
+    assert float(s(0)) == pytest.approx(1e-3)
+    assert float(s(10)) == pytest.approx(5e-4)
+    assert float(s(1000)) == pytest.approx(1e-7)
+    s50 = make_schedule(CFG.replace(lr_schedule="halve_50",
+                                    learning_rate=1e-5), 2)
+    assert float(s50(0)) == pytest.approx(1e-5)
+    assert float(s50(100)) == pytest.approx(5e-6)
+
+
+def test_train_step_decreases_loss():
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    step = make_train_step(CFG)
+    feats = _feats()
+    losses = []
+    for _ in range(30):
+        state, m = step(state, feats)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < 0.5 * losses[0]
+    assert int(state.step) == 30
+
+
+def test_fused_step_runs_and_learns():
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    fused = make_fused_step(CFG)
+    first = None
+    for _ in range(25):
+        state, m = fused(state, BANK)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first
+
+
+def test_dense_step_runs():
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    step = make_dense_train_step(CFG)
+    feats = _feats()
+    state, m1 = step(state, feats)
+    state, m2 = step(state, feats)
+    assert np.isfinite(m2["loss"]) and float(m2["loss"]) < float(m1["loss"])
+
+
+def test_classifier_step_learns():
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    step = make_classifier_step(CFG)
+    feats = _feats()
+    for i in range(40):
+        state, m = step(state, feats)
+        if i == 0:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first
+    assert 0.0 <= float(m["element_acc"]) <= 1.0
+
+
+def test_adversarial_step():
+    cfg = CFG.replace(use_discriminator=True, loss_mode="identity")
+    # discriminator conv needs >= 17x17 inputs after 3 stride-2 convs
+    state = create_train_state(jax.random.PRNGKey(0), cfg,
+                               num_frames=cfg.num_frames)
+    step = make_adversarial_step(cfg)
+    feats = _feats(cfg)
+    state, m = step(state, feats)
+    for k in ["d_loss", "g_loss", "mask_loss", "d_acc_real", "d_acc_fake"]:
+        assert np.isfinite(float(m[k])), k
+    assert state.d_opt_state is not None
+    state, m2 = step(state, feats)
+    assert float(m2["d_loss"]) <= float(m["d_loss"]) + 1.0
+
+
+def test_crm_train_step():
+    cfg = CFG.replace(is_complex_mask=True)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg)
+    batch = sample_mixtures(jax.random.PRNGKey(0), BANK, cfg)
+    feats = featurize(batch, cfg)
+    losses = []
+    for _ in range(20):
+        state, m = step(state, feats)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_eval_step_scores():
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    ev = make_eval_step(CFG)
+    feats = _feats()
+    out = ev(state.params, feats)
+    assert out["pred_wavs"].shape == (CFG.batch_size, CFG.max_mix, CFG.max_len)
+    assert out["si_sdr"].shape == (CFG.batch_size,)
+    assert np.isfinite(np.asarray(out["si_sdr"])).all()
+    # non-teacher-forced path also works
+    out2 = ev(state.params, feats, teacher_forced=False)
+    assert np.isfinite(np.asarray(out2["si_sdr"])).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    step = make_train_step(CFG)
+    feats = _feats()
+    for _ in range(3):
+        state, _ = step(state, feats)
+    save_checkpoint(tmp_path / "ckpt", state)
+    template = create_train_state(jax.random.PRNGKey(1), CFG)
+    restored = restore_checkpoint(tmp_path / "ckpt", template)
+    assert int(restored.step) == 3
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.params, restored.params)
+    # training continues seamlessly from the restored state
+    restored, m = step(restored, feats)
+    assert int(restored.step) == 4 and np.isfinite(float(m["loss"]))
+
+
+def test_train_loop_smoke(tmp_path):
+    cfg = CFG.replace(checkpoint_every_epochs=1)
+    state, sdr = train_loop(cfg, bank=BANK, max_epochs=2, epoch_size=2,
+                            metrics_path=str(tmp_path / "m.jsonl"),
+                            checkpoint_dir=str(tmp_path / "ck"))
+    assert int(state.step) == 4
+    assert len(sdr) == 2
+    lines = (tmp_path / "m.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2 and "si_sdr" in lines[0]
+
+
+def test_training_improves_si_sdr():
+    """End-to-end learning signal: after a few hundred steps on a tiny bank
+    the separated SI-SDR must beat the mixture-as-estimate baseline."""
+    cfg = CFG.replace(batch_size=8)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    fused = make_fused_step(cfg)
+    ev = make_eval_step(cfg)
+    feats0 = _feats(cfg, key=123)
+    base = float(jnp.mean(ev(state.params, feats0)["si_sdr"]))
+    for _ in range(150):
+        state, m = fused(state, BANK)
+    after = float(jnp.mean(ev(state.params, feats0)["si_sdr"]))
+    assert after > base + 3.0, (base, after)
