@@ -1,0 +1,68 @@
+"""Classifier CLI — the rebuild of test_multi_labels_speech(.py/_metrics.py).
+
+Trains the multi-label "who is in the mixture" classifier alone and reports
+the reference's metric suite: element/sample accuracy, top-k recall
+(the '80% top-3 recall' number), hamming loss, micro/macro P/R/F1.
+
+    python -m dl4ss_tpu.run.classify --preset torch_multi --epochs 5
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from dl4ss_tpu.data.synth import featurize, sample_mixtures
+from dl4ss_tpu.eval.classifier_metrics import (multilabel_accuracy,
+                                               multilabel_prf, topk_recall)
+from dl4ss_tpu.models.classifier import apply_classifier
+from dl4ss_tpu.run.common import add_common_args, build_cfg, load_bank
+from dl4ss_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from dl4ss_tpu.train.loop import train_loop
+
+
+def main(argv=None):
+    p = add_common_args(argparse.ArgumentParser(description=__doc__))
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--epoch-size", type=int, default=None)
+    p.add_argument("--eval-batches", type=int, default=4)
+    p.add_argument("--topk", type=int, default=3)
+    args = p.parse_args(argv)
+
+    cfg = build_cfg(args)
+    bank, cfg, _ = load_bank(cfg, args)
+    state, _ = train_loop(cfg, bank=bank, max_epochs=args.epochs,
+                          epoch_size=args.epoch_size, seed=args.seed,
+                          mode="classifier", metrics_path=args.metrics,
+                          checkpoint_dir=args.checkpoint_dir, eval_every=0)
+
+    # held-out metrics (the test_multi_labels_speech_metrics.py report)
+    probs_all, targets_all = [], []
+    key = jax.random.PRNGKey(args.seed + 7)
+    infer = jax.jit(lambda pr, f: apply_classifier(pr["classifier"], f, cfg))
+    for _ in range(args.eval_batches):
+        key, sub = jax.random.split(key)
+        batch = sample_mixtures(sub, bank, cfg, train=False)
+        feats = featurize(batch, cfg)
+        probs = np.asarray(infer(state.params, feats["mix_feas"]))
+        target = np.zeros_like(probs)
+        idx = np.asarray(batch.spk_idx)
+        live = np.asarray(batch.gains > 0)
+        for b in range(idx.shape[0]):
+            target[b, idx[b][live[b]]] = 1.0
+        probs_all.append(probs)
+        targets_all.append(target)
+    probs = np.concatenate(probs_all)
+    targets = np.concatenate(targets_all)
+    report = {**multilabel_accuracy(probs, targets, cfg.alpha),
+              **multilabel_prf(probs, targets, cfg.alpha),
+              f"top{args.topk}_recall": topk_recall(probs, targets, args.topk)}
+    for k, v in report.items():
+        print(f"{k}: {v:.4f}")
+    return report
+
+
+if __name__ == "__main__":
+    main()

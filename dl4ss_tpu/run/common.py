@@ -1,0 +1,61 @@
+"""Shared CLI plumbing: preset selection + overrides + data source."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from dl4ss_tpu.config import Config, preset, preset_names
+from dl4ss_tpu.data.dirtree import DirTreeSampler
+from dl4ss_tpu.data.synth import make_synthetic_bank
+
+
+def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    p.add_argument("--preset", default="torch_multi", choices=preset_names(),
+                   help="named configuration replicating a reference config")
+    p.add_argument("--data-root", default=None,
+                   help="speaker-tree root (predata_multiAims layout); "
+                        "synthetic bank if omitted")
+    p.add_argument("--split", default="train")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=1,
+                   help="reference convention: seed 1 (main_run.py:21-23)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--metrics", default=None, help="jsonl metrics path")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any Config field, e.g. --set max_mix=3")
+    return p
+
+
+def build_cfg(args) -> Config:
+    cfg = preset(args.preset)
+    if args.batch_size:
+        cfg = cfg.replace(batch_size=args.batch_size)
+    for kv in args.set:
+        key, _, value = kv.partition("=")
+        current = getattr(cfg, key)  # raises on unknown key
+        if isinstance(current, bool):
+            parsed = value.lower() in ("1", "true", "yes")
+        elif isinstance(current, int):
+            parsed = int(value)
+        elif isinstance(current, float):
+            parsed = float(value)
+        else:
+            parsed = value
+        cfg = cfg.replace(**{key: parsed})
+    return cfg
+
+
+def load_bank(cfg: Config, args, utts_per_speaker: int = 8):
+    """Returns (bank array, cfg possibly updated with the real speaker count,
+    idx->speaker-name mapping)."""
+    if args.data_root:
+        sampler = DirTreeSampler(args.data_root, cfg, args.split,
+                                 utts_per_speaker)
+        cfg = cfg.replace(num_speakers=sampler.num_speakers)
+        return jnp.asarray(sampler.bank), cfg, sampler.idx2spk
+    bank = make_synthetic_bank(args.seed, cfg.num_speakers,
+                               utts_per_speaker, cfg.max_len)
+    return jnp.asarray(bank), cfg, {i: f"spk{i:03d}"
+                                    for i in range(cfg.num_speakers)}

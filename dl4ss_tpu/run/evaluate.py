@@ -1,0 +1,77 @@
+"""Evaluation CLI — the rebuild of the *_eval / *_EvalVer / TestVer family.
+
+Scores a split with SI-SDR (jitted, on device) and BSS-Eval SDR/SIR/SAR
+(the reference's bss_test.cal protocol), optionally exporting wavs under the
+batch_output naming contract.
+
+    python -m dl4ss_tpu.run.evaluate --preset torch_multi \
+        --checkpoint-dir ck/ --batches 10 --export-wavs batch_output
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dl4ss_tpu.data.synth import featurize, sample_mixtures
+from dl4ss_tpu.eval.bss_eval import bss_eval_sources
+from dl4ss_tpu.eval.wav_export import export_batch_outputs
+from dl4ss_tpu.run.common import add_common_args, build_cfg, load_bank
+from dl4ss_tpu.train.checkpoint import restore_checkpoint
+from dl4ss_tpu.train.state import create_train_state
+from dl4ss_tpu.train.steps import make_eval_step
+
+
+def main(argv=None):
+    p = add_common_args(argparse.ArgumentParser(description=__doc__))
+    p.add_argument("--batches", type=int, default=4)
+    p.add_argument("--teacher-forced", action="store_true", default=False,
+                   help="use ground-truth speakers (the reference's "
+                        "Ground_truth eval); default: classifier top-k")
+    p.add_argument("--bss-eval", action="store_true",
+                   help="also run full BSS-Eval (SDR/SIR/SAR)")
+    p.add_argument("--export-wavs", default=None,
+                   help="directory for batch_output-style wav dumps")
+    args = p.parse_args(argv)
+
+    cfg = build_cfg(args)
+    bank, cfg, idx2spk = load_bank(cfg, args)
+    state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
+    if args.checkpoint_dir:
+        state = restore_checkpoint(args.checkpoint_dir, state)
+        print(f"restored step {int(state.step)} from {args.checkpoint_dir}")
+    ev = make_eval_step(cfg)
+
+    all_sisdr, all_sdr = [], []
+    key = jax.random.PRNGKey(args.seed + 1)
+    for b in range(args.batches):
+        key, sub = jax.random.split(key)
+        batch = sample_mixtures(sub, bank, cfg, train=False)
+        feats = featurize(batch, cfg)
+        out = ev(state.params, feats, teacher_forced=args.teacher_forced)
+        all_sisdr.append(np.asarray(out["si_sdr"]))
+        if args.bss_eval:
+            res = bss_eval_sources(feats["source_wavs"],
+                                   out["pred_wavs"], flen=512)
+            all_sdr.append(np.asarray(res.sdr))
+        if args.export_wavs and b == 0:
+            names = [[idx2spk[int(s)] for s in row]
+                     for row in np.asarray(batch.spk_idx)]
+            n = export_batch_outputs(
+                args.export_wavs, np.asarray(batch.mix_wav),
+                np.asarray(out["pred_wavs"]),
+                np.asarray(batch.source_wavs), names, cfg.frame_rate)
+            print(f"exported {n} wavs to {args.export_wavs}/")
+
+    sisdr = float(np.mean(np.concatenate(all_sisdr)))
+    print(f"SI-SDR over {args.batches} batches: {sisdr:.2f} dB")
+    if all_sdr:
+        print(f"BSS-Eval SDR: {float(np.mean(np.concatenate(all_sdr))):.2f} dB")
+    return sisdr
+
+
+if __name__ == "__main__":
+    main()

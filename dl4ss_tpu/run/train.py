@@ -1,0 +1,42 @@
+"""Training CLI — the rebuild of the `main_run*` trainer family.
+
+    python -m dl4ss_tpu.run.train --preset torch_multi --epochs 10
+    python -m dl4ss_tpu.run.train --preset tdaa --mode adversarial
+    python -m dl4ss_tpu.run.train --preset torch_multi --mode classifier
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from dl4ss_tpu.run.common import add_common_args, build_cfg, load_bank
+from dl4ss_tpu.train.loop import train_loop
+
+
+def main(argv=None):
+    p = add_common_args(argparse.ArgumentParser(description=__doc__))
+    p.add_argument("--mode", default="joint",
+                   choices=["joint", "adversarial", "classifier"])
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--epoch-size", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval-every", type=int, default=1)
+    args = p.parse_args(argv)
+
+    cfg = build_cfg(args)
+    if args.mode == "adversarial":
+        cfg = cfg.replace(use_discriminator=True)
+    bank, cfg, _ = load_bank(cfg, args)
+    print(cfg.log_config())
+    state, sdr = train_loop(
+        cfg, bank=bank, max_epochs=args.epochs, epoch_size=args.epoch_size,
+        seed=args.seed, mode=args.mode, metrics_path=args.metrics,
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        eval_every=args.eval_every)
+    if sdr:
+        print(f"final SI-SDR: {sdr[-1]:.2f} dB (best {max(sdr):.2f})")
+    return state
+
+
+if __name__ == "__main__":
+    main()

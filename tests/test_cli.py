@@ -1,0 +1,59 @@
+"""CLI drivers end-to-end (tiny preset, tmpdirs)."""
+
+import os
+
+import numpy as np
+
+from dl4ss_tpu.data.wavio import write_wav
+from dl4ss_tpu.run import classify as classify_cli
+from dl4ss_tpu.run import evaluate as evaluate_cli
+from dl4ss_tpu.run import separate as separate_cli
+from dl4ss_tpu.run import train as train_cli
+from dl4ss_tpu.run.common import build_cfg
+
+
+def test_build_cfg_overrides():
+    import argparse
+    from dl4ss_tpu.run.common import add_common_args
+    p = add_common_args(argparse.ArgumentParser())
+    args = p.parse_args(["--preset", "synth_tiny", "--set", "max_mix=3",
+                         "--set", "augment_data=true", "--batch-size", "2"])
+    cfg = build_cfg(args)
+    assert cfg.max_mix == 3 and cfg.augment_data and cfg.batch_size == 2
+
+
+def test_train_then_evaluate_cli(tmp_path):
+    ck = str(tmp_path / "ck")
+    train_cli.main(["--preset", "synth_tiny", "--epochs", "1",
+                    "--epoch-size", "2", "--checkpoint-dir", ck,
+                    "--set", "checkpoint_every_epochs=1",
+                    "--metrics", str(tmp_path / "m.jsonl")])
+    assert os.path.isdir(ck)
+    sisdr = evaluate_cli.main(["--preset", "synth_tiny", "--batches", "1",
+                               "--checkpoint-dir", ck, "--teacher-forced",
+                               "--export-wavs", str(tmp_path / "wavs")])
+    assert np.isfinite(sisdr)
+    files = os.listdir(tmp_path / "wavs")
+    assert any(f.endswith("_pre.wav") for f in files)
+    assert any(f.endswith("True_mix.wav") for f in files)
+
+
+def test_separate_cli(tmp_path, rng):
+    wav = 0.5 * rng.standard_normal(4000).astype(np.float32)
+    mix_path = str(tmp_path / "mix.wav")
+    write_wav(mix_path, wav, 8000)
+    out = str(tmp_path / "sep")
+    separate_cli.main([mix_path, "--preset", "synth_tiny", "--mode",
+                       "recursive", "--out", out])
+    files = sorted(os.listdir(out))
+    assert len(files) == 2  # two peel steps
+    separate_cli.main([mix_path, "--preset", "synth_tiny", "--mode", "topk",
+                       "--speakers", "1,3", "--out", out])
+    assert any("spk1" in f for f in os.listdir(out))
+
+
+def test_classify_cli(tmp_path):
+    report = classify_cli.main(["--preset", "synth_tiny", "--epochs", "1",
+                                "--epoch-size", "2", "--eval-batches", "1"])
+    assert "top3_recall" in report
+    assert 0.0 <= report["element_acc"] <= 1.0
