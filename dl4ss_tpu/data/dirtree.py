@@ -55,6 +55,15 @@ def _load_fixed(path, rate: int, num_samples: int) -> np.ndarray:
     return wav.astype(np.float32)
 
 
+def _load_bank(paths, rate: int, num_samples: int) -> np.ndarray:
+    """(len(paths), num_samples) bank; native threaded C++ loader when built
+    (dl4ss_tpu/native/loader.cc), numpy fallback otherwise."""
+    from dl4ss_tpu import native
+    if native.available():
+        return native.load_batch(paths, rate, num_samples)
+    return np.stack([_load_fixed(p, rate, num_samples) for p in paths])
+
+
 class DirTreeSampler:
     """Loads a split into an utterance bank usable by `sample_mixtures`."""
 
@@ -67,13 +76,12 @@ class DirTreeSampler:
         self.idx2spk = {i: s for s, i in self.spk2idx.items()}
         u = utts_per_speaker
         n = cfg.max_len
-        bank = np.zeros((len(self.speakers), u, n), np.float32)
-        for si, spk in enumerate(self.speakers):
+        flat_paths = []
+        for spk in self.speakers:
             paths = tree[spk]
-            for ui in range(u):
-                bank[si, ui] = _load_fixed(paths[ui % len(paths)],
-                                           cfg.frame_rate, n)
-        self.bank = bank
+            flat_paths.extend(paths[ui % len(paths)] for ui in range(u))
+        self.bank = _load_bank(flat_paths, cfg.frame_rate, n).reshape(
+            len(self.speakers), u, n)
 
     @property
     def num_speakers(self) -> int:
