@@ -24,7 +24,7 @@ RATE_ITERS = 30
 
 def tpu_pipeline_rate():
     import jax
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401
     from dl4ss_tpu import preset
     from dl4ss_tpu.models import init_separator, separate
     from dl4ss_tpu.ops import istft, magnitude_and_phase, stft
@@ -36,19 +36,24 @@ def tpu_pipeline_rate():
     spk_idx = jnp.asarray(rng.integers(0, cfg.num_speakers, (B, 2)))
 
     @jax.jit
-    def forward(params, wav, spk_idx):
+    def forward(wav):
         spec = stft(wav, cfg.frame_length, cfg.frame_shift)
         mag, phasor = magnitude_and_phase(spec)
         out = separate(params, mag, cfg, spk_idx=spk_idx)
-        return istft(out.pred * phasor[:, None], cfg.frame_length,
-                     cfg.frame_shift, length=N_SAMPLES)
+        sep = istft(out.pred * phasor[:, None], cfg.frame_length,
+                    cfg.frame_shift, length=N_SAMPLES)
+        # feed the output back so successive iterations serialize — on this
+        # backend block_until_ready does not reliably block; only a host
+        # value fetch forces the chain, so the timing loop is a dependent
+        # chain closed by one float() fetch.
+        return wav + 1e-9 * sep[:, 0]
 
-    out = jax.block_until_ready(forward(params, wavs, spk_idx))
-    assert np.isfinite(np.asarray(out[:, :, :8])).all()
+    x = forward(wavs)
+    assert np.isfinite(float(jnp.sum(x)))
     t0 = time.perf_counter()
     for _ in range(RATE_ITERS):
-        out = forward(params, wavs, spk_idx)
-    jax.block_until_ready(out)
+        x = forward(x)
+    _ = float(jnp.sum(x))
     dt = (time.perf_counter() - t0) / RATE_ITERS
     return B / dt, dt
 

@@ -93,6 +93,7 @@ class Config:
     compute_dtype: str = "float32"   # float32 | bfloat16 (model matmuls)
     param_dtype: str = "float32"
     use_pallas_stft: bool = False    # fused Pallas frame+window+DFT kernel
+    use_pallas_rnn: bool = False     # fused Pallas GRU/LSTM scan kernels
     remat: bool = False              # jax.checkpoint the encoder scan
 
     # ---- parallelism -----------------------------------------------------

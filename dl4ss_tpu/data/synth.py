@@ -116,19 +116,32 @@ def featurize(batch: MixtureBatch, cfg: Config):
     (predata_multiAims.py:229-239): mix magnitude features, mixture complex
     spectrum (packed RI), per-source clean features.
     """
-    mix_feat, mix_spec = spectral_feature(
-        batch.mix_wav, cfg.frame_length, cfg.frame_shift,
-        log_spectral=cfg.log_spectral)
-    src_spec = stft(batch.source_wavs, cfg.frame_length, cfg.frame_shift)
+    b, k, n = batch.source_wavs.shape
+    if cfg.use_pallas_stft and not cfg.log_spectral:
+        from dl4ss_tpu.ops.pallas_stft import pallas_spectral_feature
+        mix_feat, mix_ri = pallas_spectral_feature(
+            batch.mix_wav, cfg.frame_length, cfg.frame_shift)
+        src_feat, src_ri = pallas_spectral_feature(
+            batch.source_wavs.reshape(b * k, n),
+            cfg.frame_length, cfg.frame_shift)
+        src_feat = src_feat.reshape(b, k, *src_feat.shape[1:])
+        src_ri = src_ri.reshape(b, k, *src_ri.shape[1:])
+    else:
+        mix_feat, mix_spec = spectral_feature(
+            batch.mix_wav, cfg.frame_length, cfg.frame_shift,
+            log_spectral=cfg.log_spectral)
+        mix_ri = pack_ri(mix_spec)
+        src_spec = stft(batch.source_wavs, cfg.frame_length, cfg.frame_shift)
+        src_feat, src_ri = jnp.abs(src_spec), pack_ri(src_spec)
     out = {
         "mix_wav": batch.mix_wav,
         "mix_feas": mix_feat,                       # (B, T, F)
-        "mix_ri": pack_ri(mix_spec),                # (B, T, F, 2)
+        "mix_ri": mix_ri,                           # (B, T, F, 2)
         "spk_idx": batch.spk_idx,                   # (B, K)
         "channel_live": (batch.gains > 0),          # (B, K)
         "source_wavs": batch.source_wavs,           # (B, K, N)
     }
     if cfg.is_complex_mask:
-        out["src_ri"] = pack_ri(src_spec)           # (B, K, T, F, 2)
-    out["src_feas"] = jnp.abs(src_spec)             # (B, K, T, F)
+        out["src_ri"] = src_ri                      # (B, K, T, F, 2)
+    out["src_feas"] = src_feat                      # (B, K, T, F)
     return out

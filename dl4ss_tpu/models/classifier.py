@@ -30,7 +30,7 @@ def apply_classifier(params, feat: jax.Array, cfg: Config,
                      logits: bool = False) -> jax.Array:
     """feat (B, T, F) -> per-speaker presence probabilities (B, S)."""
     hidden = bidirectional_rnn(params["rnn"], feat, cfg.classifier_rnn,
-                               remat=cfg.remat)
+                               remat=cfg.remat, use_pallas=cfg.use_pallas_rnn)
     pooled = jnp.mean(hidden, axis=1)
     out = linear(params["out"], pooled)
     return out if logits else jax.nn.sigmoid(out)

@@ -36,7 +36,7 @@ def apply_encoder(params, feat: jax.Array, cfg: Config
     """feat (B, T, F) -> (emb_map (B, T, F, E), hidden (B, T, 2H))."""
     b, t, f = feat.shape
     hidden = bidirectional_rnn(params["rnn"], feat, cfg.encoder_rnn,
-                               remat=cfg.remat)
+                               remat=cfg.remat, use_pallas=cfg.use_pallas_rnn)
     emb = jnp.tanh(linear(params["proj"], hidden))
     emb = emb.reshape(b, t, f, cfg.embedding_size)
     return emb, hidden

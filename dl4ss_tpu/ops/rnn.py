@@ -122,6 +122,53 @@ def _run_layer(params: Params, x: jax.Array, cell: str) -> jax.Array:
     return jnp.swapaxes(hs, 0, 1)
 
 
+def _run_layer_bidir_pallas(fwd: Params, bwd: Params, x: jax.Array,
+                            cell: str) -> jax.Array:
+    """Bidirectional layer on the fused Pallas scan kernels
+    (ops/pallas_rnn.py): input projections as one XLA matmul, the whole
+    sequential loop in one kernel with VMEM-resident recurrent weights."""
+    from dl4ss_tpu.ops import pallas_rnn
+
+    xr = jnp.flip(x, axis=1)
+    b, t, _ = x.shape
+    hidden = fwd["wh"].shape[0]
+    f32 = jnp.float32
+
+    def proj(p, xx):
+        return (jnp.dot(xx.astype(f32), p["wx"],
+                        preferred_element_type=jnp.float32) + p["bx"])
+
+    xp = jnp.stack([proj(fwd, x), proj(bwd, xr)], axis=2)   # (B, T, D, G)
+    xp = jnp.transpose(xp, (1, 2, 0, 3))                    # (T, D, B, G)
+    bh = jnp.stack([fwd["bh"], bwd["bh"]]).astype(f32)      # (D, G)
+
+    def whg(i):
+        return jnp.stack([fwd["wh"][:, i * hidden:(i + 1) * hidden],
+                          bwd["wh"][:, i * hidden:(i + 1) * hidden]]
+                         ).astype(f32)                      # (D, H, H)
+
+    def xpg(i, add_bh=True):
+        seg = xp[..., i * hidden:(i + 1) * hidden]
+        if add_bh:
+            seg = seg + bh[None, :, None, i * hidden:(i + 1) * hidden]
+        return seg
+
+    if cell == "gru":
+        hs = pallas_rnn.pallas_gru_scan(
+            xpg(0), xpg(1), xpg(2, add_bh=False),
+            whg(0), whg(1), whg(2), bh[:, None, 2 * hidden:])
+    elif cell == "lstm":
+        hs = pallas_rnn.pallas_lstm_scan(
+            xpg(0), xpg(1), xpg(2), xpg(3),
+            whg(0), whg(1), whg(2), whg(3))
+    else:
+        raise ValueError(f"unknown cell {cell!r}")
+    # (T, D, B, H) -> (B, T, 2H) with the reverse direction unflipped
+    fwd_out = jnp.transpose(hs[:, 0], (1, 0, 2))
+    bwd_out = jnp.flip(jnp.transpose(hs[:, 1], (1, 0, 2)), axis=1)
+    return jnp.concatenate([fwd_out, bwd_out], axis=-1).astype(x.dtype)
+
+
 def _run_layer_bidir(fwd: Params, bwd: Params, x: jax.Array, cell: str
                      ) -> jax.Array:
     """Bidirectional layer sharing ONE scan: the time-reversed sequence rides
@@ -201,10 +248,13 @@ def rnn_init(key, cell: str, input_size: int, hidden_size: int,
 
 
 def bidirectional_rnn(layers: List[Params], x: jax.Array, cell: str,
-                      remat: bool = False) -> jax.Array:
+                      remat: bool = False, use_pallas: bool = False
+                      ) -> jax.Array:
     """Multi-layer (bi)RNN: (B, T, D) -> (B, T, 2H) (or (B, T, H) unidir)."""
     def one_layer(lp, xx):
         if "bwd" in lp:
+            if use_pallas:
+                return _run_layer_bidir_pallas(lp["fwd"], lp["bwd"], xx, cell)
             return _run_layer_bidir(lp["fwd"], lp["bwd"], xx, cell)
         return _run_layer(lp["fwd"], xx, cell)
 

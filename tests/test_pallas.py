@@ -1,0 +1,89 @@
+"""Pallas kernels vs reference implementations (CPU interpreter mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dl4ss_tpu.ops import stft
+from dl4ss_tpu.ops.pallas_stft import pallas_stft, pallas_stft_ri
+from dl4ss_tpu.ops.rnn import bidirectional_rnn, rnn_init
+
+
+def test_pallas_stft_matches_xla(rng):
+    x = jnp.asarray(rng.standard_normal((3, 4000)).astype(np.float32))
+    ours = pallas_stft(x)
+    ref = stft(x)
+    np.testing.assert_allclose(np.asarray(jnp.abs(ours)),
+                               np.asarray(jnp.abs(ref)), atol=1e-4)
+    ri = pallas_stft_ri(x)
+    assert ri.shape == (3, ref.shape[1], 2 * 129)
+
+
+def test_pallas_stft_uncentered(rng):
+    x = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32))
+    ours = pallas_stft(x, center=False)
+    ref = stft(x, center=False)
+    np.testing.assert_allclose(np.asarray(jnp.abs(ours)),
+                               np.asarray(jnp.abs(ref)), atol=1e-4)
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_pallas_rnn_forward_matches_scan(rng, cell):
+    layers = rnn_init(jax.random.PRNGKey(0), cell, 9, 6, 2)
+    x = jnp.asarray(rng.standard_normal((3, 11, 9)).astype(np.float32))
+    ref = bidirectional_rnn(layers, x, cell, use_pallas=False)
+    ours = bidirectional_rnn(layers, x, cell, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_pallas_rnn_grads_match_scan(rng, cell):
+    layers = rnn_init(jax.random.PRNGKey(1), cell, 5, 4, 1)
+    x = jnp.asarray(rng.standard_normal((2, 7, 5)).astype(np.float32))
+
+    def loss(p, use_pallas):
+        return jnp.sum(jnp.sin(bidirectional_rnn(p, x, cell,
+                                                 use_pallas=use_pallas)))
+
+    g_ref = jax.grad(lambda p: loss(p, False))(layers)
+    g_pal = jax.grad(lambda p: loss(p, True))(layers)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-4, rtol=1e-4),
+        g_ref, g_pal)
+
+
+def test_pallas_featurize_path(rng):
+    """cfg.use_pallas_stft routes featurize through the fused kernel."""
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.data import featurize, make_synthetic_bank, sample_mixtures
+    cfg = preset("synth_tiny")
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2,
+                                           cfg.max_len))
+    batch = sample_mixtures(jax.random.PRNGKey(0), bank, cfg)
+    base = featurize(batch, cfg)
+    fused = featurize(batch, cfg.replace(use_pallas_stft=True))
+    np.testing.assert_allclose(np.asarray(fused["mix_feas"]),
+                               np.asarray(base["mix_feas"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused["src_feas"]),
+                               np.asarray(base["src_feas"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused["mix_ri"]),
+                               np.asarray(base["mix_ri"]), atol=1e-4)
+
+
+def test_pallas_separator_end_to_end(rng):
+    """Full separator forward with both pallas flags on (interpret mode)."""
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.models import init_separator, separate
+    cfg = preset("synth_tiny").replace(use_pallas_rnn=True)
+    params = init_separator(jax.random.PRNGKey(0), cfg)
+    feat = jnp.abs(jnp.asarray(
+        rng.standard_normal((2, 37, cfg.freq_bins)).astype(np.float32)))
+    out = separate(params, feat, cfg, spk_idx=jnp.array([[0, 1], [2, 3]]))
+    ref = separate(init_separator(jax.random.PRNGKey(0),
+                                  cfg.replace(use_pallas_rnn=False)),
+                   feat, cfg.replace(use_pallas_rnn=False),
+                   spk_idx=jnp.array([[0, 1], [2, 3]]))
+    np.testing.assert_allclose(np.asarray(out.masks), np.asarray(ref.masks),
+                               atol=1e-4)
