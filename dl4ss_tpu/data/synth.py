@@ -67,7 +67,8 @@ def make_synthetic_bank(seed: int, num_speakers: int, utts_per_speaker: int,
 @functools.partial(jax.jit, static_argnames=("cfg", "batch_size", "train"))
 def sample_mixtures(key: jax.Array, bank: jax.Array, cfg: Config,
                     batch_size: Optional[int] = None,
-                    train: bool = True) -> MixtureBatch:
+                    train: bool = True,
+                    noise_bank: Optional[jax.Array] = None) -> MixtureBatch:
     """Draw a batch of k-speaker mixtures from an (S, U, N) utterance bank.
 
     k is static (= cfg.max_mix); mixtures with fewer live speakers are
@@ -106,8 +107,20 @@ def sample_mixtures(key: jax.Array, bank: jax.Array, cfg: Config,
         gains = gains * lane.astype(gains.dtype)
 
     sources = wavs * gains[..., None]
-    return MixtureBatch(mix_wav=jnp.sum(sources, axis=1),
-                        source_wavs=sources, spk_idx=spk_idx, gains=gains)
+    mix = jnp.sum(sources, axis=1)
+
+    # street-noise add: 0.3 x a randomly-circular-shifted noise wav summed
+    # into the mixture only (predata_multiAims_noisedB.py:198-222)
+    if cfg.add_bgd_noise and noise_bank is not None:
+        k_nidx, k_nshift = jax.random.split(k_live)
+        nidx = jax.random.randint(k_nidx, (b,), 0, noise_bank.shape[0])
+        nshift = jax.random.randint(k_nshift, (b,), 0, noise_bank.shape[1])
+        noise = jax.vmap(lambda w, sh: jnp.roll(w, sh))(
+            noise_bank[nidx][:, :n], nshift)
+        mix = mix + cfg.bgd_noise_ratio * noise
+
+    return MixtureBatch(mix_wav=mix, source_wavs=sources, spk_idx=spk_idx,
+                        gains=gains)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -145,3 +158,18 @@ def featurize(batch: MixtureBatch, cfg: Config):
         out["src_ri"] = src_ri                      # (B, K, T, F, 2)
     out["src_feas"] = src_feat                      # (B, K, T, F)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def same_speaker_real_specs(key: jax.Array, batch: MixtureBatch,
+                            bank: jax.Array, cfg: Config) -> jax.Array:
+    """dis-sp "real" pool: for each mixed speaker, the clean magnitude
+    spectrogram of a DIFFERENT random utterance of the same speaker
+    (predata_fromList_dis.py:37-66, consumed by main_run_sstune_dis_sp).
+    Returns (B, K, T, F) for feats["real_specs"].
+    """
+    b, k = batch.spk_idx.shape
+    u = bank.shape[1]
+    utt = jax.random.randint(key, (b, k), 0, u)
+    wavs = normalize_utterance(bank[batch.spk_idx, utt])
+    return jnp.abs(stft(wavs, cfg.frame_length, cfg.frame_shift))

@@ -84,15 +84,26 @@ def apply_image_query(params, images: jax.Array) -> jax.Array:
 
 def init_video_query(key, cfg: Config, num_speakers: Optional[int] = None,
                      frame_hw: Tuple[int, int] = (299, 299),
-                     trunk_dim: int = 256):
+                     trunk: str = "conv", trunk_dim: int = 256):
+    """trunk='inception' reproduces the reference exactly (frozen
+    Inception-v3 penultimate 2048-d per frame, main_run.py:226-243);
+    trunk='conv' is a lightweight strided-conv stand-in."""
     s = num_speakers if num_speakers is not None else cfg.num_speakers
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    if trunk == "inception":
+        from dl4ss_tpu.models.inception import init_inception_v3
+        trunk_params = {"inception": init_inception_v3(k1)}
+        feat_dim = 2048  # size_hidden_image (main_run.py:237)
+    else:
+        trunk_params = {
+            "conv0": conv_init(k1, 3, 32, 5, 5),
+            "conv1": conv_init(k2, 32, 64, 3, 3),
+            "conv2": conv_init(k3, 64, trunk_dim, 3, 3),
+        }
+        feat_dim = trunk_dim
     return {
-        # small strided conv trunk standing in for the frozen Inception-v3
-        "conv0": conv_init(k1, 3, 32, 5, 5),
-        "conv1": conv_init(k2, 32, 64, 3, 3),
-        "conv2": conv_init(k3, 64, trunk_dim, 3, 3),
-        "rnn": rnn_init(k4, "lstm", trunk_dim, cfg.hidden_units,
+        **trunk_params,
+        "rnn": rnn_init(k4, "lstm", feat_dim, cfg.hidden_units,
                         cfg.num_layers, bidirectional=True),
         "dense": linear_init(k5, 2 * cfg.hidden_units, cfg.embedding_size),
         "logits": linear_init(k6, cfg.embedding_size, s),
@@ -104,14 +115,20 @@ def apply_video_query(params, frames: jax.Array
     """frames (B, T, H, W, 3) -> (speaker logits (B, S), query (B, E)).
 
     Mirrors VIDEO_QUERY.forward: frame features -> BiLSTM -> last timestep
-    -> Dense(E) -> (logits, hidden query) (main_run.py:246-256).
+    -> Dense(E) -> (logits, hidden query) (main_run.py:246-256). The trunk
+    is frozen in the reference; freeze here by stop_gradient on its params
+    at the call site when reproducing that setup.
     """
     b, t = frames.shape[:2]
     x = frames.reshape((b * t,) + frames.shape[2:])
-    x = jax.nn.relu(conv2d(params["conv0"], x, stride=(4, 4)))
-    x = jax.nn.relu(conv2d(params["conv1"], x, stride=(3, 3)))
-    x = jax.nn.relu(conv2d(params["conv2"], x, stride=(2, 2)))
-    x = jnp.mean(x, axis=(1, 2))                     # global average pool
+    if "inception" in params:
+        from dl4ss_tpu.models.inception import apply_inception_v3
+        _, _, x = apply_inception_v3(params["inception"], x)
+    else:
+        x = jax.nn.relu(conv2d(params["conv0"], x, stride=(4, 4)))
+        x = jax.nn.relu(conv2d(params["conv1"], x, stride=(3, 3)))
+        x = jax.nn.relu(conv2d(params["conv2"], x, stride=(2, 2)))
+        x = jnp.mean(x, axis=(1, 2))                 # global average pool
     x = x.reshape(b, t, -1)
     h = bidirectional_rnn(params["rnn"], x, "lstm")
     query = linear(params["dense"], h[:, -1])

@@ -33,6 +33,10 @@ def main(argv=None):
                         "Ground_truth eval); default: classifier top-k")
     p.add_argument("--bss-eval", action="store_true",
                    help="also run full BSS-Eval (SDR/SIR/SAR)")
+    p.add_argument("--dedup", action="store_true",
+                   help="speaker selection by embedding-cosine dedup "
+                        "(the quchong evaluator, "
+                        "main_run_multi_selfSS_quchong.py:398-445)")
     p.add_argument("--export-wavs", default=None,
                    help="directory for batch_output-style wav dumps")
     args = p.parse_args(argv)
@@ -51,7 +55,18 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         batch = sample_mixtures(sub, bank, cfg, train=False)
         feats = featurize(batch, cfg)
-        out = ev(state.params, feats, teacher_forced=args.teacher_forced)
+        if args.dedup:
+            from dl4ss_tpu.models.separator import classify_speakers
+            from dl4ss_tpu.objectives.select import cosine_dedup_select
+            probs = classify_speakers(state.params, feats["mix_feas"], cfg)
+            sel = cosine_dedup_select(probs,
+                                      state.params["embedding"]["table"],
+                                      cfg.quchong_alpha, cfg.top_k)
+            feats = dict(feats, spk_idx=sel)
+            out = ev(state.params, feats, teacher_forced=True)
+        else:
+            out = ev(state.params, feats,
+                     teacher_forced=args.teacher_forced)
         all_sisdr.append(np.asarray(out["si_sdr"]))
         if args.bss_eval:
             res = bss_eval_sources(feats["source_wavs"],

@@ -1,0 +1,204 @@
+"""Target-speaker extraction with the life-long speaker memory.
+
+Rebuilds the Cocktail/Multi_modal Keras stack (SURVEY.md C4-C8, D2-D5):
+
+  * the query is a voiceprint — a BiLSTM+mean-pool over the target's clean
+    speech (nnet.py:66-71) — or an image-CNN embedding for the MNIST variant
+    (Multi_modal nnet.py:70-90), selectable via `query_source`;
+  * the voiceprint is written into the life-long memory INSIDE the graph
+    (differentiably, SpkLifeLongMemory's inc_subtensor) and the mask-head
+    query is the freshly-written row (SelectSpkMemory), so gradients flow
+    through the write (extend_layers.py:132-216);
+  * the persistent memory state is then updated OUTSIDE the gradient step,
+    reproducing the Keras `update_memory` set_weights call after every
+    train_on_batch (nnet.py:130-135, extend_layers.py:220-228);
+  * at eval the clean input is zeroed (predict.py:231-233) and the memory
+    row alone drives the mask; unknown speakers are handled by first
+    `enroll`-ing seconds of their audio (predict.py:160-180);
+  * training runs with per-epoch dev-loss early stopping, patience 10,
+    restoring the best parameters (nnet.py:149-172).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dl4ss_tpu.config import Config
+from dl4ss_tpu.models.attention import apply_mask_head, init_mask_head
+from dl4ss_tpu.models.encoder import apply_encoder, init_encoder
+from dl4ss_tpu.models.memory import (MemorySlots, SLOT_IMAGE, SLOT_SPEECH,
+                                     init_memory, memory_read,
+                                     memory_write_slot)
+from dl4ss_tpu.models.query import (apply_image_query, apply_speech_query,
+                                    init_image_query, init_speech_query,
+                                    masked_mean_pool)
+from dl4ss_tpu.train.state import make_optimizer
+
+
+class MemoryTrainState(NamedTuple):
+    step: jax.Array
+    params: dict
+    opt_state: object
+    memory: MemorySlots
+    rng: jax.Array
+
+
+def init_memory_model(key, cfg: Config, query_source: str = "speech"):
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "encoder": init_encoder(k1, cfg),
+        "mask_head": init_mask_head(k2, cfg.replace(mask_head="align")),
+    }
+    if query_source == "speech":
+        params["speech_query"] = init_speech_query(k3, cfg)
+    elif query_source == "image":
+        params["image_query"] = init_image_query(k3, cfg)
+    else:
+        raise ValueError(query_source)
+    return params
+
+
+def _voiceprint(params, feats, cfg: Config, query_source: str):
+    if query_source == "speech":
+        # masked mean over non-silent frames (Keras Masking(mask_value=0),
+        # nnet.py:43-47)
+        valid = jnp.any(feats["clean_feas"] != 0.0, axis=-1)
+        return apply_speech_query(params["speech_query"],
+                                  feats["clean_feas"], valid)
+    return apply_image_query(params["image_query"], feats["query_image"])
+
+
+def _slot(query_source: str) -> int:
+    return SLOT_SPEECH if query_source == "speech" else SLOT_IMAGE
+
+
+def make_memory_train_step(cfg: Config, query_source: str = "speech",
+                           steps_per_epoch: int = 1) -> Callable:
+    opt = make_optimizer(cfg, steps_per_epoch)
+    align_cfg = cfg.replace(mask_head="align")
+    slot = _slot(query_source)
+
+    @jax.jit
+    def step(state: MemoryTrainState, feats) -> Tuple[MemoryTrainState, dict]:
+        spk_id = feats["spk_id"]                           # (B,)
+
+        def loss_fn(params):
+            emb_map, _ = apply_encoder(params["encoder"], feats["mix_feas"],
+                                       cfg)
+            vp = _voiceprint(params, feats, cfg, query_source)
+            # differentiable in-graph write + select (the Keras graph path)
+            mem = memory_write_slot(
+                jax.tree_util.tree_map(jax.lax.stop_gradient, state.memory),
+                spk_id, vp, slot)
+            query = memory_read(mem, spk_id, slot)         # (B, E)
+            masks = apply_mask_head(params["mask_head"], emb_map,
+                                    query[:, None, :], align_cfg)
+            pred = masks[:, 0] * feats["mix_mag"]
+            return jnp.mean((pred - feats["target_mag"]) ** 2), vp
+
+        (loss, vp), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # out-of-graph persistent memory update (update_memory semantics)
+        memory = memory_write_slot(state.memory, spk_id,
+                                   jax.lax.stop_gradient(vp), slot)
+        return state._replace(step=state.step + 1, params=params,
+                              opt_state=opt_state, memory=memory), \
+            {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return step
+
+
+def make_memory_eval_step(cfg: Config, query_source: str = "speech"
+                          ) -> Callable:
+    """Inference: clean/query input zeroed, the memory row drives the mask
+    (predict.py:231-245). Returns (pred_mag, mask, dev-MSE vs target)."""
+    align_cfg = cfg.replace(mask_head="align")
+    slot = _slot(query_source)
+
+    @jax.jit
+    def step(params, memory: MemorySlots, feats):
+        emb_map, _ = apply_encoder(params["encoder"], feats["mix_feas"], cfg)
+        query = memory_read(memory, feats["spk_id"], slot)
+        masks = apply_mask_head(params["mask_head"], emb_map,
+                                query[:, None, :], align_cfg)
+        pred = masks[:, 0] * feats["mix_mag"]
+        loss = jnp.mean((pred - feats["target_mag"]) ** 2)
+        return {"pred_mag": pred, "mask": masks[:, 0], "loss": loss}
+
+    return step
+
+
+def enroll(params, memory: MemorySlots, cfg: Config, spk_id: jax.Array,
+           enroll_feats: jax.Array, query_source: str = "speech"
+           ) -> MemorySlots:
+    """Unknown-speaker enrollment (predict.py:160-180): run `supp_time`
+    seconds of the speaker's clean audio through the voiceprint branch and
+    write the result into their memory row."""
+    valid = jnp.any(enroll_feats != 0.0, axis=-1)
+    if query_source == "speech":
+        vp = apply_speech_query(params["speech_query"], enroll_feats, valid)
+    else:
+        vp = apply_image_query(params["image_query"], enroll_feats)
+    return memory_write_slot(memory, spk_id, vp, _slot(query_source))
+
+
+def create_memory_state(key, cfg: Config, query_source: str = "speech",
+                        steps_per_epoch: int = 1) -> MemoryTrainState:
+    k_model, k_rng = jax.random.split(key)
+    params = init_memory_model(k_model, cfg, query_source)
+    opt = make_optimizer(cfg, steps_per_epoch)
+    # voiceprint dim = 2 * (E // 2) from the BiLSTM concat
+    dim = 2 * max(cfg.embedding_size // 2, 1) if query_source == "speech" \
+        else cfg.embedding_size
+    return MemoryTrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=opt.init(params),
+        memory=init_memory(cfg.num_speakers, dim), rng=k_rng)
+
+
+def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
+                      max_epochs: Optional[int] = None,
+                      epoch_size: Optional[int] = None,
+                      query_source: str = "speech",
+                      patience: int = 10,
+                      dev_batch: Optional[dict] = None):
+    """Early-stopped training (nnet.py:149-172): per-epoch dev loss, stop
+    after `patience` epochs without improvement, return the best params.
+
+    make_batch(key) -> feats dict (mix_feas, mix_mag, spk_id, clean_feas or
+    query_image, target_mag)."""
+    epochs = max_epochs if max_epochs is not None else cfg.max_epoch
+    esize = epoch_size if epoch_size is not None else cfg.epoch_size
+    state = create_memory_state(jax.random.PRNGKey(seed), cfg, query_source,
+                                esize)
+    train_step = make_memory_train_step(cfg, query_source, esize)
+    eval_step = make_memory_eval_step(cfg, query_source)
+    best = (float("inf"), state.params, state.memory)
+    bad_epochs = 0
+    history = []
+    for epoch in range(epochs):
+        for _ in range(esize):
+            rng, sub = jax.random.split(state.rng)
+            feats = make_batch(sub)
+            state, m = train_step(state._replace(rng=rng), feats)
+        if dev_batch is not None:
+            dev = float(eval_step(state.params, state.memory,
+                                  dev_batch)["loss"])
+            history.append(dev)
+            if dev < best[0]:
+                best = (dev, state.params, state.memory)
+                bad_epochs = 0
+            else:
+                bad_epochs += 1
+                if bad_epochs >= patience:
+                    break
+    if dev_batch is not None and best[0] < float("inf"):
+        state = state._replace(params=best[1], memory=best[2])
+    return state, history

@@ -1,0 +1,173 @@
+"""wsj0-2mix list sampler, noise/dis-sp data, and the memory trainer."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dl4ss_tpu import preset
+from dl4ss_tpu.data import (featurize, make_synthetic_bank, sample_mixtures,
+                            write_wav)
+from dl4ss_tpu.data.listsampler import Wsj0MixSampler, mix_from_list
+from dl4ss_tpu.data.synth import same_speaker_real_specs
+from dl4ss_tpu.train.memory_trainer import (create_memory_state, enroll,
+                                            make_memory_eval_step,
+                                            make_memory_train_step,
+                                            memory_train_loop)
+
+CFG = preset("synth_tiny")
+
+
+def _make_wsj0_layout(tmp_path, rng, n_spk=4, n_utt=2):
+    """wav tree + official-format list files."""
+    root = tmp_path / "wsj0"
+    lines = []
+    for s in range(n_spk):
+        spk = f"{s:02d}a"
+        d = root / "si_tr_s" / spk
+        os.makedirs(d, exist_ok=True)
+        for u in range(n_utt):
+            name = f"{spk}c02{u:02d}"
+            write_wav(d / f"{name}.wav",
+                      0.4 * rng.standard_normal(3000).astype(np.float32), 8000)
+    for i in range(6):
+        s1, s2 = i % n_spk, (i + 1) % n_spk
+        lines.append(
+            f"wsj0/si_tr_s/{s1:02d}a/{s1:02d}ac02{i % n_utt:02d}.wav "
+            f"{0.5 - 0.1 * i:.3f} "
+            f"wsj0/si_tr_s/{s2:02d}a/{s2:02d}ac02{(i + 1) % n_utt:02d}.wav "
+            f"{-0.5 + 0.1 * i:.3f}")
+    ldir = tmp_path / "lists"
+    os.makedirs(ldir, exist_ok=True)
+    (ldir / "mix_2_spk_tr.txt").write_text("\n".join(lines) + "\n")
+    return str(ldir), str(tmp_path)
+
+
+def test_wsj0mix_sampler_epoch(tmp_path, rng):
+    cfg = CFG.replace(max_len_seconds=0.375)
+    ldir, root = _make_wsj0_layout(tmp_path, rng)
+    s = Wsj0MixSampler(ldir, root, cfg, "train")
+    assert s.k == 2
+    assert s.num_speakers == 4
+    assert s.num_batches(2) == 3
+    batches = list(s.batches(2, shuffle=True, seed=1))
+    assert len(batches) == 3  # epoch-finite (the reference's `yield False`)
+    b0 = batches[0]
+    assert b0.mix_wav.shape == (2, cfg.max_len)
+    np.testing.assert_allclose(np.asarray(b0.mix_wav),
+                               np.asarray(b0.source_wavs.sum(1)), atol=1e-5)
+    # gains follow 10^(dB/20)
+    assert np.all(np.asarray(b0.gains) > 0)
+    # deterministic order without shuffle
+    a1 = [np.asarray(b.spk_idx) for b in s.batches(2, shuffle=False)]
+    a2 = [np.asarray(b.spk_idx) for b in s.batches(2, shuffle=False)]
+    np.testing.assert_array_equal(np.concatenate(a1), np.concatenate(a2))
+
+
+def test_mix_from_list_gains():
+    cfg = CFG.replace(max_len_seconds=0.25)
+    bank = jnp.asarray(make_synthetic_bank(0, 4, 1, cfg.max_len)[:, 0, :])
+    utt = jnp.array([[0, 1]])
+    db = jnp.array([[6.0, -6.0]])
+    batch = mix_from_list(bank, utt, db, jnp.array([[0, 1]]), cfg)
+    g = np.asarray(batch.gains)[0]
+    np.testing.assert_allclose(g, [10 ** 0.3, 10 ** -0.3], rtol=1e-5)
+
+
+def test_bgd_noise_mixing():
+    cfg = CFG.replace(add_bgd_noise=True)
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len))
+    noise = jnp.asarray(make_synthetic_bank(7, 2, 1, cfg.max_len)[:, 0, :])
+    key = jax.random.PRNGKey(0)
+    with_n = sample_mixtures(key, bank, cfg, noise_bank=noise)
+    without = sample_mixtures(key, bank, cfg.replace(add_bgd_noise=False))
+    # same sources, mixture differs by the 0.3x noise
+    np.testing.assert_allclose(np.asarray(with_n.source_wavs),
+                               np.asarray(without.source_wavs), atol=1e-6)
+    diff = np.asarray(with_n.mix_wav - without.mix_wav)
+    assert np.abs(diff).max() > 0.01
+    assert np.abs(diff).max() <= 0.3 + 1e-5  # bounded by ratio * peak-norm
+
+
+def test_same_speaker_real_specs():
+    cfg = CFG
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 3, cfg.max_len))
+    batch = sample_mixtures(jax.random.PRNGKey(0), bank, cfg)
+    real = same_speaker_real_specs(jax.random.PRNGKey(1), batch, bank, cfg)
+    assert real.shape == (cfg.batch_size, cfg.max_mix, cfg.num_frames,
+                          cfg.freq_bins)
+    assert np.isfinite(np.asarray(real)).all()
+
+
+def _memory_feats(cfg, key, bank):
+    batch = sample_mixtures(key, bank, cfg)
+    feats = featurize(batch, cfg)
+    return {
+        "mix_feas": feats["mix_feas"],
+        "mix_mag": feats["mix_feas"],
+        "spk_id": batch.spk_idx[:, 0],          # first speaker = target (C2)
+        "clean_feas": feats["src_feas"][:, 0],
+        "target_mag": feats["src_feas"][:, 0],
+    }
+
+
+def test_memory_train_step_learns_and_writes():
+    cfg = CFG
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len))
+    state = create_memory_state(jax.random.PRNGKey(0), cfg)
+    step = make_memory_train_step(cfg)
+    feats = _memory_feats(cfg, jax.random.PRNGKey(5), bank)
+    losses = []
+    for _ in range(25):
+        state, m = step(state, feats)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    # the target speakers' memory rows were written (age, unit norm)
+    ages = np.asarray(state.memory.age[:, 0])
+    assert ages.sum() == 25 * cfg.batch_size
+    written = np.asarray(feats["spk_id"])
+    norms = np.linalg.norm(np.asarray(state.memory.vectors[written, 0]),
+                           axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_memory_eval_uses_memory_only():
+    cfg = CFG
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len))
+    state = create_memory_state(jax.random.PRNGKey(0), cfg)
+    step = make_memory_train_step(cfg)
+    feats = _memory_feats(cfg, jax.random.PRNGKey(5), bank)
+    for _ in range(5):
+        state, _ = step(state, feats)
+    ev = make_memory_eval_step(cfg)
+    out = ev(state.params, state.memory, feats)
+    assert out["pred_mag"].shape == feats["mix_mag"].shape
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_enrollment_path():
+    cfg = CFG
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len))
+    state = create_memory_state(jax.random.PRNGKey(0), cfg)
+    feats = _memory_feats(cfg, jax.random.PRNGKey(5), bank)
+    unk_id = jnp.full((cfg.batch_size,), cfg.num_speakers - 1, jnp.int32)
+    mem2 = enroll(state.params, state.memory, cfg, unk_id,
+                  feats["clean_feas"])
+    assert int(mem2.age[cfg.num_speakers - 1, 0]) > 0
+    assert np.abs(np.asarray(mem2.vectors[cfg.num_speakers - 1, 0])).max() > 0
+
+
+def test_memory_train_loop_early_stopping():
+    cfg = CFG.replace(max_epoch=50)
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len))
+    dev = _memory_feats(cfg, jax.random.PRNGKey(99), bank)
+
+    def make_batch(key):
+        return _memory_feats(cfg, key, bank)
+
+    state, history = memory_train_loop(cfg, make_batch, max_epochs=4,
+                                       epoch_size=2, patience=2,
+                                       dev_batch=dev)
+    assert len(history) >= 1
+    assert history[-1] <= history[0] * 2  # sane dev-loss trajectory
