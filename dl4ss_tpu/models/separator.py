@@ -78,7 +78,8 @@ def _finish(params, cfg, emb_map, hidden, queries, feat, mix_ri, probs):
 def separate(params, feat: jax.Array, cfg: Config,
              spk_idx: Optional[jax.Array] = None,
              queries: Optional[jax.Array] = None,
-             mix_ri: Optional[jax.Array] = None) -> SeparatorOutput:
+             mix_ri: Optional[jax.Array] = None,
+             need_probs: bool = False) -> SeparatorOutput:
     """Top-k path. feat (B,T,F) magnitude features.
 
     spk_idx (B,K): the speakers to extract — teacher-forced at training
@@ -86,9 +87,18 @@ def separate(params, feat: jax.Array, cfg: Config,
     classifier's top-k is used. `queries` (B,K,Q) overrides the embedding
     lookup for image/video/memory conditioning. `mix_ri` (B,T,F,2) is the
     packed complex mixture, required for the cRM path.
+
+    The classifier (a BiLSTM as large as the encoder) only runs when its
+    output is needed — when selecting speakers, or when `need_probs` asks
+    for it. Teacher-forced training therefore skips it entirely; the
+    reference runs it and discards the result (main_run.py:465-471).
     """
     emb_map, hidden = apply_encoder(params["encoder"], feat, cfg)
-    probs = apply_classifier(params["classifier"], feat, cfg)
+    run_classifier = need_probs or (queries is None and spk_idx is None)
+    if run_classifier:
+        probs = apply_classifier(params["classifier"], feat, cfg)
+    else:
+        probs = jnp.zeros((feat.shape[0], cfg.num_speakers), feat.dtype)
     if queries is None:
         if spk_idx is None:
             spk_idx, _ = top_k_indices(probs, cfg.top_k)
@@ -103,7 +113,7 @@ def separate_dense(params, feat: jax.Array, cfg: Config,
     in {0,1}; masks for gated-off speakers are forced to zero exactly as the
     reference multiplies by the expanded top_k_mask (:488-489)."""
     emb_map, hidden = apply_encoder(params["encoder"], feat, cfg)
-    probs = apply_classifier(params["classifier"], feat, cfg)
+    probs = jnp.zeros((feat.shape[0], cfg.num_speakers), feat.dtype)
     queries = apply_embedding_gated(params["embedding"], channel_gate)
     out = _finish(params, cfg, emb_map, hidden, queries, feat, mix_ri, probs)
     gate = channel_gate[..., None, None]

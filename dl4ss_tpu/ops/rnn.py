@@ -29,6 +29,11 @@ import numpy as np
 
 Params = Dict[str, Any]
 
+# Unrolling the scan body amortizes per-iteration loop overhead on TPU
+# (~12% on the reference-scale forward); 8 is safe for any T (jax handles
+# the remainder).
+_UNROLL = 8
+
 
 def _uniform(key, shape, scale, dtype):
     return jax.random.uniform(key, shape, dtype, -scale, scale)
@@ -71,7 +76,8 @@ def _lstm_scan(params: Params, xproj: jax.Array, h0: jax.Array, c0: jax.Array
         return (h.astype(h0.dtype), c.astype(c0.dtype)), h.astype(h0.dtype)
 
     del hidden
-    (_, _), hs = jax.lax.scan(step, (h0, c0), xproj)
+    (_, _), hs = jax.lax.scan(step, (h0, c0), xproj,
+                               unroll=_UNROLL)
     return hs
 
 
@@ -97,7 +103,7 @@ def _gru_scan(params: Params, xproj: jax.Array, xproj_n: jax.Array,
         h = h.astype(h0.dtype)
         return h, h
 
-    _, hs = jax.lax.scan(step, h0, (xproj, xproj_n))
+    _, hs = jax.lax.scan(step, h0, (xproj, xproj_n), unroll=_UNROLL)
     return hs
 
 
@@ -203,7 +209,7 @@ def _run_layer_bidir(fwd: Params, bwd: Params, x: jax.Array, cell: str
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
             return (h.astype(dtype), c.astype(dtype)), h.astype(dtype)
 
-        (_, _), hs = jax.lax.scan(step, (h0, h0), xp)
+        (_, _), hs = jax.lax.scan(step, (h0, h0), xp, unroll=_UNROLL)
     else:
         wh_rz, wh_n = wh[..., :2 * hidden], wh[..., 2 * hidden:]
         bh_rz = bh[:, None, :2 * hidden]
@@ -220,7 +226,7 @@ def _run_layer_bidir(fwd: Params, bwd: Params, x: jax.Array, cell: str
             h = ((1.0 - z) * n + z * h).astype(dtype)
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, xp)
+        _, hs = jax.lax.scan(step, h0, xp, unroll=_UNROLL)
 
     hs = jnp.swapaxes(hs, 0, 1)          # (2, T, B, H)
     fwd_out = jnp.swapaxes(hs[0], 0, 1)  # (B, T, H)

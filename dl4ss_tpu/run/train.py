@@ -21,18 +21,35 @@ def main(argv=None):
     p.add_argument("--epoch-size", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--dis-sp", action="store_true",
+                   help="adversarial 'real' pool = same-speaker different "
+                        "utterances (the dis-sp trainer, B10)")
+    p.add_argument("--noise-wavs", default=None,
+                   help="directory of background-noise wavs (A5 street noise)")
     args = p.parse_args(argv)
 
     cfg = build_cfg(args)
     if args.mode == "adversarial":
         cfg = cfg.replace(use_discriminator=True)
     bank, cfg, _ = load_bank(cfg, args)
+    noise_bank = None
+    if args.noise_wavs:
+        import os
+        import jax.numpy as jnp
+        from dl4ss_tpu.data.dirtree import _load_bank
+        paths = sorted(os.path.join(args.noise_wavs, f)
+                       for f in os.listdir(args.noise_wavs)
+                       if f.lower().endswith(".wav"))
+        noise_bank = jnp.asarray(_load_bank(paths, cfg.frame_rate,
+                                            cfg.max_len))
+        cfg = cfg.replace(add_bgd_noise=True)
     print(cfg.log_config())
     state, sdr = train_loop(
         cfg, bank=bank, max_epochs=args.epochs, epoch_size=args.epoch_size,
         seed=args.seed, mode=args.mode, metrics_path=args.metrics,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
-        eval_every=args.eval_every)
+        eval_every=args.eval_every, noise_bank=noise_bank,
+        dis_sp=args.dis_sp)
     if sdr:
         print(f"final SI-SDR: {sdr[-1]:.2f} dB (best {max(sdr):.2f})")
     return state

@@ -34,8 +34,14 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
                metrics_path: Optional[str] = None,
                checkpoint_dir: Optional[str] = None,
                resume: bool = False,
-               eval_every: int = 1):
+               eval_every: int = 1,
+               noise_bank: Optional[jax.Array] = None,
+               dis_sp: bool = False):
     """mode: joint | adversarial | classifier.
+
+    `noise_bank` enables the street-noise augment (A5); `dis_sp` feeds the
+    adversarial discriminator different-utterance same-speaker real examples
+    (B10) instead of the clean targets (B9).
 
     Returns (final state, list of per-epoch mean SI-SDR).
     Seeds follow the reference convention (np/torch/random seed 1,
@@ -63,8 +69,13 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
 
         def run_one(state):
             rng, sub = jax.random.split(state.rng)
-            batch = sample_mixtures(sub, bank, cfg)
+            k_mix, k_sp = jax.random.split(sub)
+            batch = sample_mixtures(k_mix, bank, cfg, noise_bank=noise_bank)
             feats = featurize(batch, cfg)
+            if dis_sp and mode == "adversarial":
+                from dl4ss_tpu.data.synth import same_speaker_real_specs
+                feats = dict(feats, real_specs=same_speaker_real_specs(
+                    k_sp, batch, bank, cfg))
             return step_fn(state._replace(rng=rng), feats)
 
     eval_step = make_eval_step(cfg)
