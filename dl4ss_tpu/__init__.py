@@ -25,4 +25,4 @@ Package layout (see SURVEY.md for the reference blueprint):
 
 __version__ = "0.1.0"
 
-from dl4ss_tpu.config import Config, preset  # noqa: F401
+from dl4ss_tpu.config import Config, preset, preset_names  # noqa: F401

@@ -1,0 +1,110 @@
+"""Query-conditioned separation training (audio-visual / image variants).
+
+The reference conditions the mask head on modality queries in two places:
+VIDEO_QUERY's lip-frame encoder feeding the attention query
+(Torch_multi/main_run.py:226-256 — the GRID audio-visual configuration) and
+the MNIST image encoder of the Multi_modal stack. This trainer runs the
+separator with `queries` produced by the video/image encoder per extraction
+channel, trained jointly with the encoder/mask-head on the mask MSE plus the
+reference's auxiliary speaker-classification loss on the query logits
+(CrossEntropyLoss at main_run.py:451).
+
+Batch contract (feats):
+  mix_feas (B,T,F), src_feas (B,K,T,F), channel_live (B,K), spk_idx (B,K),
+  query_video (B,K,Tf,H,W,3)  or  query_image (B,K,28,28,1)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dl4ss_tpu.config import Config
+from dl4ss_tpu.models.query import (apply_image_query, apply_video_query,
+                                    init_image_query, init_video_query)
+from dl4ss_tpu.models.separator import init_separator, separate
+from dl4ss_tpu.objectives.losses import mask_mse_loss
+from dl4ss_tpu.objectives.pit import pit_loss
+from dl4ss_tpu.train.state import TrainState, make_optimizer
+
+
+def init_query_separator(key, cfg: Config, query_source: str = "video",
+                         video_trunk: str = "conv",
+                         frame_hw=(48, 48)):
+    k1, k2 = jax.random.split(key)
+    params = init_separator(k1, cfg)
+    if query_source == "video":
+        params["video_query"] = init_video_query(
+            k2, cfg, frame_hw=frame_hw, trunk=video_trunk)
+    else:
+        params["image_query"] = init_image_query(k2, cfg)
+    return params
+
+
+def _queries_and_logits(params, feats, cfg: Config, query_source: str):
+    if query_source == "video":
+        qv = feats["query_video"]                       # (B,K,Tf,H,W,3)
+        b, k = qv.shape[:2]
+        logits, q = apply_video_query(params["video_query"],
+                                      qv.reshape((b * k,) + qv.shape[2:]))
+        return (q.reshape(b, k, -1),
+                logits.reshape(b, k, -1))
+    qi = feats["query_image"]                           # (B,K,H,W,C)
+    b, k = qi.shape[:2]
+    q = apply_image_query(params["image_query"],
+                          qi.reshape((b * k,) + qi.shape[2:]))
+    return q.reshape(b, k, -1), None
+
+
+def make_query_train_step(cfg: Config, query_source: str = "video",
+                          steps_per_epoch: int = 1,
+                          aux_class_weight: float = 1.0) -> Callable:
+    opt = make_optimizer(cfg, steps_per_epoch)
+
+    @jax.jit
+    def step(state: TrainState, feats):
+        live = feats["channel_live"].astype(jnp.float32)
+
+        def loss_fn(params):
+            queries, logits = _queries_and_logits(params, feats, cfg,
+                                                  query_source)
+            out = separate(params, feats["mix_feas"], cfg, queries=queries)
+            pred = out.pred * live[..., None, None]
+            if cfg.loss_mode == "pit":
+                mask_l, _ = pit_loss(pred, feats["src_feas"])
+            else:
+                mask_l = mask_mse_loss(pred, feats["src_feas"], live)
+            total = mask_l
+            aux = {"mask_loss": mask_l}
+            if logits is not None and aux_class_weight > 0:
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, feats["spk_idx"])
+                ce = jnp.mean(ce * live) if live is not None else jnp.mean(ce)
+                total = total + aux_class_weight * ce
+                aux["query_ce"] = ce
+            return total, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **aux,
+                   "grad_norm": optax.global_norm(grads)}
+        return state._replace(step=state.step + 1, params=params,
+                              opt_state=opt_state), metrics
+
+    return step
+
+
+def create_query_state(key, cfg: Config, query_source: str = "video",
+                       steps_per_epoch: int = 1, video_trunk: str = "conv",
+                       frame_hw=(48, 48)) -> TrainState:
+    k_model, k_rng = jax.random.split(key)
+    params = init_query_separator(k_model, cfg, query_source, video_trunk,
+                                  frame_hw)
+    opt = make_optimizer(cfg, steps_per_epoch)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt.init(params), memory=None, rng=k_rng)
