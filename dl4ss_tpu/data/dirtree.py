@@ -88,6 +88,53 @@ class DirTreeSampler:
         return len(self.speakers)
 
 
+class StreamingTreeSampler:
+    """Host-streaming variant for corpora too large for an HBM bank.
+
+    Draws k-speaker batches by decoding just the needed utterances per batch
+    (native threaded loader when built), yielding numpy batches shaped for
+    `device_prefetch` + `featurize`. The bank-mode `DirTreeSampler` remains
+    the fast path for WSJ0-scale data (SURVEY §2.2: whole corpus fits HBM).
+    """
+
+    def __init__(self, root, cfg: Config, split: str = "train",
+                 seed: int = 1):
+        self.cfg = cfg
+        self.tree = scan_speaker_tree(root, split)
+        self.speakers = sorted(self.tree)
+        self.spk2idx = {s: i for i, s in enumerate(self.speakers)}
+        self.rng = np.random.default_rng(seed)
+
+    def batches(self, batch_size: int, num_batches: int):
+        cfg = self.cfg
+        k = cfg.max_mix
+        for _ in range(num_batches):
+            paths, spk_idx = [], np.zeros((batch_size, k), np.int32)
+            for b in range(batch_size):
+                spks = self.rng.choice(len(self.speakers), k, replace=False)
+                spk_idx[b] = spks
+                for s in spks:
+                    wavs = self.tree[self.speakers[s]]
+                    paths.append(wavs[self.rng.integers(len(wavs))])
+            from dl4ss_tpu import native
+            if native.available():
+                wavs = native.load_batch(paths, cfg.frame_rate, cfg.max_len)
+            else:
+                wavs = np.stack([_load_fixed(p, cfg.frame_rate, cfg.max_len)
+                                 for p in paths])
+            wavs = wavs.reshape(batch_size, k, cfg.max_len)
+            # normalize + sum on host mirrors the device sampler's math
+            wavs = wavs - wavs.mean(axis=-1, keepdims=True)
+            peak = np.maximum(np.abs(wavs).max(axis=-1, keepdims=True), 1e-8)
+            wavs = wavs / peak
+            yield {
+                "mix_wav": wavs.sum(axis=1).astype(np.float32),
+                "source_wavs": wavs.astype(np.float32),
+                "spk_idx": spk_idx,
+                "gains": np.ones((batch_size, k), np.float32),
+            }
+
+
 def split_for_train_dev_test(items: List[str],
                              fractions=(0.7, 0.1, 0.2)) -> Tuple[List[str], ...]:
     """Deterministic 70/10/20 split by sorted order, the GRID convention

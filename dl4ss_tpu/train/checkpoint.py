@@ -57,3 +57,25 @@ def restore_checkpoint(directory, template: TrainState,
     restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
     mgr.close()
     return restored
+
+
+def load_components(state: TrainState, sources: dict,
+                    step: Optional[int] = None) -> TrainState:
+    """Checkpoint-zoo composition: graft individual model components from
+    (possibly different) checkpoints into `state`.
+
+    The reference hand-assembles eval models from separately-saved component
+    files, filtering mismatched keys (`class_dict.pop` for cnn keys,
+    TDAA_beta/main_run_sstune_TestVer.py:557-579). Here:
+
+        state = load_components(state, {"classifier": "ck_cls",
+                                        "encoder": "ck_dis_sp"})
+
+    loads each named param subtree from its checkpoint's TrainState, leaving
+    everything else (optimizer state included) untouched.
+    """
+    params = dict(state.params)
+    for component, directory in sources.items():
+        donor = restore_checkpoint(directory, state, step)
+        params[component] = donor.params[component]
+    return state._replace(params=params)
