@@ -37,12 +37,33 @@ def main(argv=None):
                    help="speaker selection by embedding-cosine dedup "
                         "(the quchong evaluator, "
                         "main_run_multi_selfSS_quchong.py:398-445)")
+    p.add_argument("--list-dir", default=None,
+                   help="official wsj0-2mix list directory "
+                        "(create-speaker-mixtures); evaluates the full "
+                        "cv/tt protocol instead of sampled mixtures")
+    p.add_argument("--wav-root", default=None,
+                   help="root the list wav paths are relative to")
+    p.add_argument("--mix-k", type=int, default=2)
     p.add_argument("--export-wavs", default=None,
                    help="directory for batch_output-style wav dumps")
     args = p.parse_args(argv)
 
     cfg = build_cfg(args)
-    bank, cfg, idx2spk = load_bank(cfg, args)
+    list_batches = None
+    if args.list_dir:
+        # the reference's eval protocol: mean SDR over the official cv/tt
+        # lists (TDAA_beta/main_run_sstune_TestVer.py:30-31,513)
+        from dl4ss_tpu.data.listsampler import Wsj0MixSampler
+        sampler = Wsj0MixSampler(args.list_dir, args.wav_root or ".", cfg,
+                                 args.split, mix_ks=(args.mix_k,))
+        cfg = cfg.replace(num_speakers=max(cfg.num_speakers,
+                                           sampler.num_speakers))
+        idx2spk = sampler.idx2spk
+        list_batches = sampler.batches(cfg.batch_size_eval, shuffle=False)
+        n_batches = sampler.num_batches(cfg.batch_size_eval)
+    else:
+        bank, cfg, idx2spk = load_bank(cfg, args)
+        n_batches = args.batches
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
@@ -51,9 +72,12 @@ def main(argv=None):
 
     all_sisdr, all_sdr = [], []
     key = jax.random.PRNGKey(args.seed + 1)
-    for b in range(args.batches):
-        key, sub = jax.random.split(key)
-        batch = sample_mixtures(sub, bank, cfg, train=False)
+    for b in range(n_batches):
+        if list_batches is not None:
+            batch = next(list_batches)
+        else:
+            key, sub = jax.random.split(key)
+            batch = sample_mixtures(sub, bank, cfg, train=False)
         feats = featurize(batch, cfg)
         if args.dedup:
             from dl4ss_tpu.models.separator import classify_speakers

@@ -57,3 +57,14 @@ def test_classify_cli(tmp_path):
                                 "--epoch-size", "2", "--eval-batches", "1"])
     assert "top3_recall" in report
     assert 0.0 <= report["element_acc"] <= 1.0
+
+
+def test_evaluate_list_protocol(tmp_path, rng):
+    """Official-list evaluation path (wsj0-2mix cv/tt protocol)."""
+    from tests.test_list_and_memory import _make_wsj0_layout
+    ldir, root = _make_wsj0_layout(tmp_path, rng)
+    sisdr = evaluate_cli.main([
+        "--preset", "synth_tiny", "--set", "max_len_seconds=0.375",
+        "--set", "batch_size_eval=2", "--list-dir", ldir,
+        "--wav-root", root, "--split", "train", "--teacher-forced"])
+    assert np.isfinite(sisdr)
