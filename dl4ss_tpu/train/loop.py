@@ -59,7 +59,7 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
 
     writer = MetricsWriter(metrics_path)
     if mode == "joint":
-        fused = make_fused_step(cfg, epoch_size)
+        fused = make_fused_step(cfg, epoch_size, noise_bank=noise_bank)
 
         def run_one(state):
             return fused(state, bank)

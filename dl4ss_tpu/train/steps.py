@@ -93,18 +93,20 @@ def make_train_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
     return step
 
 
-def make_fused_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
+def make_fused_step(cfg: Config, steps_per_epoch: int = 1,
+                    noise_bank=None) -> Callable:
     """Synthesis + STFT + train in ONE jit: (state, bank) -> (state, metrics).
 
     This is the pipeline the reference runs as CPU generator -> numpy STFT ->
     H2D copy -> GPU step (SURVEY.md §3.1), collapsed into a single program.
+    `noise_bank` (closure arg) enables the street-noise augment (A5).
     """
     inner = make_train_step(cfg, steps_per_epoch)
 
     @jax.jit
     def step(state: TrainState, bank) -> tuple:
         rng, sub = jax.random.split(state.rng)
-        batch = sample_mixtures(sub, bank, cfg)
+        batch = sample_mixtures(sub, bank, cfg, noise_bank=noise_bank)
         if cfg.dp_size > 1:
             # pin the batch axis to the mesh's data axis so every downstream
             # op partitions over it and the grad psum rides ICI

@@ -163,3 +163,23 @@ def test_training_improves_si_sdr():
         state, m = fused(state, BANK)
     after = float(jnp.mean(ev(state.params, feats0)["si_sdr"]))
     assert after > base + 3.0, (base, after)
+
+
+def test_fused_step_with_noise_bank():
+    cfg = CFG.replace(add_bgd_noise=True)
+    noise = jnp.asarray(make_synthetic_bank(9, 2, 1, cfg.max_len)[:, 0, :])
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_fused_step(cfg, noise_bank=noise)
+    state, m = step(state, BANK)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_train_loop_noise_and_dissp(tmp_path):
+    from dl4ss_tpu.train import train_loop
+    cfg = CFG.replace(add_bgd_noise=True, use_discriminator=True,
+                      loss_mode="identity")
+    noise = jnp.asarray(make_synthetic_bank(9, 2, 1, cfg.max_len)[:, 0, :])
+    state, _ = train_loop(cfg, bank=BANK, max_epochs=1, epoch_size=1,
+                          mode="adversarial", noise_bank=noise, dis_sp=True,
+                          eval_every=0)
+    assert int(state.step) == 1
