@@ -38,15 +38,25 @@ def sdr_simple(est: jax.Array, ref: jax.Array, eps: float = 1e-8) -> jax.Array:
     return 10.0 * jnp.log10(jnp.maximum(ratio, eps))
 
 
-def si_sdr_pit(est: jax.Array, ref: jax.Array):
+def si_sdr_pit(est: jax.Array, ref: jax.Array, live=None):
     """Permutation-resolved SI-SDR: est/ref (B, K, N).
 
     Returns (per-sample mean SI-SDR over channels (B,), best perms (B, K)).
+    `live` (B, K) masks dead channels (zero-gain speakers in variable-k
+    mixtures) out of the mean — a silent reference would otherwise score
+    ~-80 dB and poison the average.
     """
     k = est.shape[1]
     perms = np.array(list(itertools.permutations(range(k))))
     pair = si_sdr(est[:, :, None], ref[:, None, :, :])      # (B, K, K)
     gathered = pair[:, np.arange(k)[None, :], perms]        # (B, P, K)
-    scores = jnp.mean(gathered, axis=-1)                    # (B, P)
+    if live is not None:
+        # the dead entity is the REFERENCE channel: weight each (est i ->
+        # ref perm[i]) pair by the liveness of the ref it is scored against
+        w = live.astype(gathered.dtype)[:, perms]           # (B, P, K)
+        scores = (jnp.sum(gathered * w, axis=-1) /
+                  jnp.maximum(jnp.sum(w, axis=-1), 1.0))
+    else:
+        scores = jnp.mean(gathered, axis=-1)                # (B, P)
     best = jnp.argmax(scores, axis=-1)
     return jnp.max(scores, axis=-1), jnp.asarray(perms)[best]

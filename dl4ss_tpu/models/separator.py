@@ -133,6 +133,12 @@ def recursive_separate(params, feat: jax.Array, cfg: Config
 
     Returns (extracted (B, steps, T, F), speaker indices (B, steps)).
     """
+    if cfg.is_complex_mask:
+        raise ValueError(
+            "recursive extraction operates on magnitude residuals; the "
+            "reference's recursive drivers are magnitude-only too "
+            "(main_run_multi_selfSS_recu.py:398-400). Use top-k mode for "
+            "cRM models.")
     b, t, f = feat.shape
     s = cfg.num_speakers
 

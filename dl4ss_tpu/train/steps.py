@@ -266,7 +266,8 @@ def make_eval_step(cfg: Config) -> Callable:
             pred_spec = out.pred * phasor[:, None]
         wavs = istft(pred_spec, cfg.frame_length, cfg.frame_shift,
                      length=cfg.max_len)
-        scores, perm = si_sdr_pit(wavs, feats["source_wavs"])
+        scores, perm = si_sdr_pit(wavs, feats["source_wavs"],
+                                  live=feats.get("channel_live"))
         return {"pred_wavs": wavs, "si_sdr": scores, "perm": perm,
                 "probs": out.probs}
 

@@ -136,3 +136,15 @@ def test_wav_export_contract(tmp_path, rng):
     assert "0_011_pre.wav" in files and "0_011_genTrue.wav" in files
     assert "1_True_mix.wav" in files
     assert n == len(files) == 2 * (2 * 2) + 2
+
+
+def test_si_sdr_pit_live_masking(rng):
+    """Dead (zero-gain) reference channels must not poison the mean."""
+    ref = rng.standard_normal((2, 3, 2000)).astype(np.float32)
+    ref[:, 2] = 0.0                              # dead speaker channel
+    est = ref + 0.01 * rng.standard_normal(ref.shape).astype(np.float32)
+    live = jnp.asarray(np.array([[1, 1, 0], [1, 1, 0]], np.float32))
+    masked, _ = si_sdr_pit(jnp.asarray(est), jnp.asarray(ref), live=live)
+    unmasked, _ = si_sdr_pit(jnp.asarray(est), jnp.asarray(ref))
+    assert float(masked.min()) > 25.0            # near-perfect on live chans
+    assert float(unmasked.max()) < 10.0          # poisoned by the dead chan
