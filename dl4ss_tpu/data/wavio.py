@@ -59,6 +59,43 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
     return x, rate
 
 
+def wav_duration(path) -> Tuple[int, int]:
+    """(num_frames, rate) from the header only — no sample decode.
+
+    Supports the reference's `update_max_len` behavior (Torch_multi/
+    config.py:29-52): cap MAX_LEN at the corpus's true longest utterance.
+    """
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        rate, channels, bits, frames = 0, 1, 16, 0
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"fmt ":
+                body = f.read(size + (size & 1))
+                _, channels, rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+            elif cid == b"data":
+                frames = size // max(channels * (bits // 8), 1)
+                break
+            else:
+                f.seek(size + (size & 1), 1)
+    return frames, rate
+
+
+def update_max_len(wav_paths, max_len_samples: int, rate: int) -> int:
+    """min(longest utterance in samples at `rate`, max_len_samples)."""
+    longest = 0
+    for p in wav_paths:
+        frames, sr = wav_duration(p)
+        longest = max(longest, int(round(frames * rate / max(sr, 1))))
+    return min(longest, max_len_samples) if longest else max_len_samples
+
+
 def write_wav(path, samples: np.ndarray, rate: int) -> None:
     """Write float samples (clipped to [-1, 1]) as PCM16."""
     x = np.asarray(samples)

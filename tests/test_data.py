@@ -151,3 +151,15 @@ def test_split_70_10_20():
     tr, dev, te = split_for_train_dev_test(items)
     assert (len(tr), len(dev), len(te)) == (7, 1, 2)
     assert tr + dev + te == sorted(items)
+
+
+def test_wav_duration_and_update_max_len(tmp_path, rng):
+    from dl4ss_tpu.data.wavio import update_max_len, wav_duration
+    p1, p2 = tmp_path / "a.wav", tmp_path / "b.wav"
+    write_wav(p1, rng.standard_normal(3000).astype(np.float32) * 0.1, 8000)
+    write_wav(p2, rng.standard_normal(7000).astype(np.float32) * 0.1, 16000)
+    assert wav_duration(p1) == (3000, 8000)
+    assert wav_duration(p2) == (7000, 16000)
+    # b.wav is 7000/16k = 3500 samples at 8k -> longest; capped by max_len
+    assert update_max_len([p1, p2], 40000, 8000) == 3500
+    assert update_max_len([p1, p2], 3200, 8000) == 3200
