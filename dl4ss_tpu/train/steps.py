@@ -250,13 +250,27 @@ def make_adversarial_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
 
 def make_eval_step(cfg: Config) -> Callable:
     """Inference + on-device resynthesis + SI-SDR (the in-loop score the
-    reference computes by wav files + bss_eval, TestVer:512-513)."""
+    reference computes by wav files + bss_eval, TestVer:512-513).
 
-    @functools.partial(jax.jit, static_argnames=("teacher_forced",))
-    def step(params, feats, teacher_forced: bool = True):
+    `complement_mask`: when the classifier finds only one speaker above
+    alpha in a 2-mix eval, the second channel's mask becomes 1 - mask_1 —
+    the reference's complement trick (main_run_sstune_TestVer.py:473-476).
+    """
+
+    @functools.partial(jax.jit,
+                       static_argnames=("teacher_forced", "complement_mask"))
+    def step(params, feats, teacher_forced: bool = True,
+             complement_mask: bool = False):
         spk_idx = feats["spk_idx"] if teacher_forced else None
         out = separate(params, feats["mix_feas"], cfg, spk_idx=spk_idx,
-                       mix_ri=feats.get("mix_ri"))
+                       mix_ri=feats.get("mix_ri"),
+                       need_probs=complement_mask)
+        if complement_mask and not cfg.is_complex_mask and cfg.top_k == 2:
+            one_spk = jnp.sum(out.probs > cfg.alpha, axis=-1) <= 1  # (B,)
+            comp = (1.0 - out.masks[:, 0]) * feats["mix_feas"]
+            pred = out.pred.at[:, 1].set(
+                jnp.where(one_spk[:, None, None], comp, out.pred[:, 1]))
+            out = out._replace(pred=pred)
         if cfg.is_complex_mask:
             pred_spec = unpack_ri(out.pred)
         else:

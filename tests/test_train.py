@@ -183,3 +183,15 @@ def test_train_loop_noise_and_dissp(tmp_path):
                           mode="adversarial", noise_bank=noise, dis_sp=True,
                           eval_every=0)
     assert int(state.step) == 1
+
+
+def test_eval_complement_mask():
+    """The 1-speaker complement trick (TestVer:473-476): when the classifier
+    sees only one speaker, channel 2 gets (1 - mask_1) * mixture."""
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    ev = make_eval_step(CFG)
+    feats = _feats()
+    out = ev(state.params, feats, teacher_forced=True, complement_mask=True)
+    assert np.isfinite(np.asarray(out["si_sdr"])).all()
+    # probs are computed (needed for the 1-spk gate)
+    assert np.abs(np.asarray(out["probs"])).max() > 0
