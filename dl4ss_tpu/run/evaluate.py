@@ -44,6 +44,10 @@ def main(argv=None):
     p.add_argument("--wav-root", default=None,
                    help="root the list wav paths are relative to")
     p.add_argument("--mix-k", type=int, default=2)
+    p.add_argument("--complement-mask", action="store_true",
+                   help="1-speaker complement trick: channel 2 mask becomes "
+                        "1 - mask_1 when the classifier sees one speaker "
+                        "(TestVer:473-476)")
     p.add_argument("--export-wavs", default=None,
                    help="directory for batch_output-style wav dumps")
     args = p.parse_args(argv)
@@ -90,7 +94,8 @@ def main(argv=None):
             out = ev(state.params, feats, teacher_forced=True)
         else:
             out = ev(state.params, feats,
-                     teacher_forced=args.teacher_forced)
+                     teacher_forced=args.teacher_forced,
+                     complement_mask=args.complement_mask)
         all_sisdr.append(np.asarray(out["si_sdr"]))
         if args.bss_eval:
             res = bss_eval_sources(feats["source_wavs"],

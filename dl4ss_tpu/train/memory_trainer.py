@@ -65,11 +65,17 @@ def init_memory_model(key, cfg: Config, query_source: str = "speech"):
 
 def _voiceprint(params, feats, cfg: Config, query_source: str):
     if query_source == "speech":
-        # masked mean over non-silent frames (Keras Masking(mask_value=0),
-        # nnet.py:43-47)
-        valid = jnp.any(feats["clean_feas"] != 0.0, axis=-1)
-        return apply_speech_query(params["speech_query"],
-                                  feats["clean_feas"], valid)
+        # masked mean over non-silent frames: Masking(mask_value=0) for
+        # linear features, MaskingGt(log(spacing(1)*2)) for log-spectral
+        # ones (nnet.py:43-47, extend_layers.py:231-251)
+        clean = feats["clean_feas"]
+        if cfg.log_spectral:
+            import numpy as _np
+            floor = float(_np.log(_np.spacing(1) * 2))
+            valid = jnp.any(clean > floor, axis=-1)
+        else:
+            valid = jnp.any(clean != 0.0, axis=-1)
+        return apply_speech_query(params["speech_query"], clean, valid)
     return apply_image_query(params["image_query"], feats["query_image"])
 
 
