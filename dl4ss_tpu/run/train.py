@@ -16,7 +16,14 @@ from dl4ss_tpu.train.loop import train_loop
 def main(argv=None):
     p = add_common_args(argparse.ArgumentParser(description=__doc__))
     p.add_argument("--mode", default="joint",
-                   choices=["joint", "adversarial", "classifier"])
+                   choices=["joint", "adversarial", "classifier", "memory"])
+    p.add_argument("--query-source", default="speech",
+                   choices=["speech", "image"],
+                   help="memory mode: voiceprint (Cocktail) or MNIST digit "
+                        "(Multi_modal) query")
+    p.add_argument("--patience", type=int, default=10,
+                   help="memory mode: dev-loss early-stop patience "
+                        "(nnet.py:159-172)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--epoch-size", type=int, default=None)
     p.add_argument("--resume", action="store_true")
@@ -44,6 +51,8 @@ def main(argv=None):
                                             cfg.max_len))
         cfg = cfg.replace(add_bgd_noise=True)
     print(cfg.log_config())
+    if args.mode == "memory":
+        return _run_memory_mode(cfg, bank, args)
     state, sdr = train_loop(
         cfg, bank=bank, max_epochs=args.epochs, epoch_size=args.epoch_size,
         seed=args.seed, mode=args.mode, metrics_path=args.metrics,
@@ -52,6 +61,44 @@ def main(argv=None):
         dis_sp=args.dis_sp)
     if sdr:
         print(f"final SI-SDR: {sdr[-1]:.2f} dB (best {max(sdr):.2f})")
+    return state
+
+
+def _run_memory_mode(cfg, bank, args):
+    """Cocktail/Multi_modal training: life-long-memory target extraction
+    with early stopping (train/memory_trainer.py)."""
+    import jax
+    import jax.numpy as jnp
+    from dl4ss_tpu.data.synth import featurize, sample_mixtures
+    from dl4ss_tpu.data.mnist import digit_query_bank, load_mnist
+    from dl4ss_tpu.train.memory_trainer import memory_train_loop
+
+    qbank = None
+    if args.query_source == "image":
+        imgs, labels = load_mnist(None)
+        qbank = jnp.asarray(digit_query_bank(imgs, labels, cfg.num_speakers))
+
+    def make_batch(key):
+        b = sample_mixtures(key, bank, cfg)
+        f = featurize(b, cfg)
+        feats = {"mix_feas": f["mix_feas"], "mix_mag": f["mix_feas"],
+                 "spk_id": b.spk_idx[:, 0],          # first speaker = target
+                 "clean_feas": f["src_feas"][:, 0],
+                 "target_mag": f["src_feas"][:, 0]}
+        if qbank is not None:
+            vi = jax.random.randint(key, b.spk_idx[:, 0].shape, 0,
+                                    qbank.shape[1])
+            feats["query_image"] = qbank[b.spk_idx[:, 0], vi]
+        return feats
+
+    dev = make_batch(jax.random.PRNGKey(args.seed + 13))
+    state, history = memory_train_loop(
+        cfg, make_batch, seed=args.seed, max_epochs=args.epochs,
+        epoch_size=args.epoch_size, query_source=args.query_source,
+        patience=args.patience, dev_batch=dev)
+    if history:
+        print(f"dev-loss: first {history[0]:.4f} best {min(history):.4f} "
+              f"({len(history)} epochs)")
     return state
 
 

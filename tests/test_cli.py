@@ -68,3 +68,17 @@ def test_evaluate_list_protocol(tmp_path, rng):
         "--set", "batch_size_eval=2", "--list-dir", ldir,
         "--wav-root", root, "--split", "train", "--teacher-forced"])
     assert np.isfinite(sisdr)
+
+
+def test_train_memory_mode_cli():
+    state = train_cli.main(["--preset", "synth_tiny", "--mode", "memory",
+                            "--epochs", "2", "--epoch-size", "2",
+                            "--patience", "1"])
+    assert int(np.asarray(state.memory.age).sum()) > 0
+
+
+def test_train_memory_image_mode_cli():
+    state = train_cli.main(["--preset", "synth_tiny", "--mode", "memory",
+                            "--query-source", "image", "--epochs", "1",
+                            "--epoch-size", "1"])
+    assert state.params.get("image_query") is not None
