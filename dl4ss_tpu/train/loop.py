@@ -94,6 +94,16 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
             ev = eval_step(state.params, feats)
             sdr = float(jnp.mean(ev["si_sdr"]))
             sdr_history.append(sdr)
+            if cfg.out_sep_result:
+                # per-epoch separated-wav dump (Out_Sep_Result,
+                # main_run.py:515-516) under the batch_output contract
+                from dl4ss_tpu.eval.wav_export import export_batch_outputs
+                names = [[f"spk{int(s):03d}" for s in row]
+                         for row in np.asarray(batch.spk_idx)]
+                export_batch_outputs(
+                    cfg.output_dir, np.asarray(batch.mix_wav),
+                    np.asarray(ev["pred_wavs"]),
+                    np.asarray(batch.source_wavs), names, cfg.frame_rate)
             writer.write("epoch", int(state.step), epoch=epoch, si_sdr=sdr,
                          **{k: v for k, v in last_metrics.items()})
         else:

@@ -195,3 +195,13 @@ def test_eval_complement_mask():
     assert np.isfinite(np.asarray(out["si_sdr"])).all()
     # probs are computed (needed for the 1-spk gate)
     assert np.abs(np.asarray(out["probs"])).max() > 0
+
+
+def test_train_loop_out_sep_result(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = CFG.replace(out_sep_result=True, output_dir=str(tmp_path / "bo"))
+    train_loop(cfg, bank=BANK, max_epochs=1, epoch_size=1)
+    import os
+    files = os.listdir(tmp_path / "bo")
+    assert any(f.endswith("_pre.wav") for f in files)
+    assert any(f == "0_True_mix.wav" for f in files)
