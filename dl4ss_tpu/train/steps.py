@@ -38,9 +38,17 @@ def _gen_params(params):
 
 
 def _separation_loss(params, feats, cfg: Config):
-    """Mask loss of the top-k path (identity or PIT assignment)."""
+    """Mask loss of the top-k path (identity or PIT assignment).
+
+    cfg.ground_truth=True (the reference's default) teacher-forces the
+    extraction channels with the true speakers; False selects them from the
+    classifier like the reference's non-Ground_truth branch
+    (main_run.py:465-474) — selection indices carry no gradient, so the
+    classifier itself still trains only via make_classifier_step.
+    """
     live = feats["channel_live"].astype(jnp.float32)
-    out = separate(params, feats["mix_feas"], cfg, spk_idx=feats["spk_idx"],
+    spk_idx = feats["spk_idx"] if cfg.ground_truth else None
+    out = separate(params, feats["mix_feas"], cfg, spk_idx=spk_idx,
                    mix_ri=feats.get("mix_ri"))
     if cfg.is_complex_mask:
         target = feats["src_ri"]
@@ -69,6 +77,12 @@ def _separation_loss(params, feats, cfg: Config):
 def make_train_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
     """The canonical joint trainer (A17/A18/A19; cRM variant B14 when
     cfg.is_complex_mask): teacher-forced speakers, mask MSE (+PIT), Adam."""
+    if not cfg.ground_truth and cfg.loss_mode != "pit":
+        raise ValueError(
+            "ground_truth=False selects channels from the classifier, so "
+            "channel k no longer aligns with source k — identity assignment "
+            "is ill-posed in the top-k layout; use loss_mode='pit' (or the "
+            "dense trainer, which assigns channels by speaker id).")
     opt = make_optimizer(cfg, steps_per_epoch)
 
     @jax.jit

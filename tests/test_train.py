@@ -205,3 +205,16 @@ def test_train_loop_out_sep_result(tmp_path, monkeypatch):
     files = os.listdir(tmp_path / "bo")
     assert any(f.endswith("_pre.wav") for f in files)
     assert any(f == "0_True_mix.wav" for f in files)
+
+
+def test_non_teacher_forced_training():
+    """Ground_truth=False: channels selected by the classifier during
+    training (main_run.py:465-474); PIT resolves the assignment."""
+    cfg = CFG.replace(ground_truth=False, loss_mode="pit")
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg)
+    feats = _feats(cfg)
+    state, m = step(state, feats)
+    assert np.isfinite(float(m["loss"]))
+    with pytest.raises(ValueError):
+        make_train_step(cfg.replace(loss_mode="identity"))
