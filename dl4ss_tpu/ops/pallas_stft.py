@@ -22,7 +22,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dl4ss_tpu.ops.stft import dft_matrix
+from dl4ss_tpu.ops.stft import dft_matrix, idft_matrix
 from dl4ss_tpu.ops.windows import get_window
 
 
@@ -113,3 +113,95 @@ def pallas_spectral_feature(wav: jax.Array, frame_length: int = 256,
     re, im = ri[..., :bins], ri[..., bins:]
     mag = jnp.sqrt(re * re + im * im)
     return mag, jnp.stack([re, im], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# iSTFT: iDFT + window + overlap-add fused per utterance
+# ---------------------------------------------------------------------------
+
+
+def _istft_kernel(spec_ref, idft_ref, win_ref, o_ref, *, t: int, hop: int,
+                  ratio: int):
+    frames = jnp.dot(spec_ref[0], idft_ref[:],
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) * win_ref[0]
+    rows = t + ratio - 1
+    acc = None
+    for i in range(ratio):
+        seg = frames[:, i * hop:(i + 1) * hop]           # (T, hop)
+        parts = []
+        if i:
+            parts.append(jnp.zeros((i, hop), jnp.float32))
+        parts.append(seg)
+        if rows - t - i:
+            parts.append(jnp.zeros((rows - t - i, hop), jnp.float32))
+        shifted = jnp.concatenate(parts, axis=0) if len(parts) > 1 else seg
+        acc = shifted if acc is None else acc + shifted
+    o_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("frame_length", "frame_shift",
+                                             "window", "center", "length"))
+def pallas_istft_ri(spec_ri: jax.Array, frame_length: int = 256,
+                    frame_shift: int = 128, window: str = "hann",
+                    center: bool = True, length=None) -> jax.Array:
+    """Fused iSTFT: (B, T, 2F) [Re | Im] -> (B, length) waveforms.
+
+    iDFT matmul + synthesis window + overlap-add happen per utterance inside
+    one VMEM-resident kernel (frames never hit HBM); the window-square
+    normalization and center trim are cheap elementwise XLA ops outside.
+    """
+    assert frame_length % frame_shift == 0
+    ratio = frame_length // frame_shift
+    b, t, _ = spec_ri.shape
+    rows = t + ratio - 1
+    win_np = get_window(window, frame_length)
+    win = jnp.asarray(win_np)[None, :]
+    idft = jnp.asarray(idft_matrix(frame_length))
+    kernel = functools.partial(_istft_kernel, t=t, hop=frame_shift,
+                               ratio=ratio)
+    ola = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, 2 * (frame_length // 2 + 1)),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, frame_shift), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, rows, frame_shift), jnp.float32),
+        interpret=_interpret(),
+    )(spec_ri, idft, win)
+    ola = ola.reshape(b, rows * frame_shift)
+    out_len = (t - 1) * frame_shift + frame_length
+    ola = ola[:, :out_len]
+    # window-square normalization (host-side numpy OLA of win^2, a constant)
+    wsq = np.zeros(out_len, np.float32)
+    for ti in range(t):
+        wsq[ti * frame_shift:ti * frame_shift + frame_length] += win_np ** 2
+    norm = jnp.asarray(np.where(wsq > 1e-10, 1.0 / np.maximum(wsq, 1e-10),
+                                1.0))
+    ola = ola * norm
+    if center:
+        pad = frame_length // 2
+        default_len = out_len - 2 * pad
+        out = ola[:, pad:out_len - pad]
+    else:
+        default_len = out_len
+        out = ola
+    if length is None:
+        return out
+    if length <= default_len:
+        return out[:, :length]
+    return jnp.pad(out, ((0, 0), (0, length - default_len)))
+
+
+def pallas_istft(spec: jax.Array, frame_length: int = 256,
+                 frame_shift: int = 128, window: str = "hann",
+                 center: bool = True, length=None) -> jax.Array:
+    """Complex-input wrapper matching ops.stft.istft's signature."""
+    ri = jnp.concatenate([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    return pallas_istft_ri(ri, frame_length, frame_shift, window, center,
+                           length)

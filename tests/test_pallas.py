@@ -87,3 +87,26 @@ def test_pallas_separator_end_to_end(rng):
                    spk_idx=jnp.array([[0, 1], [2, 3]]))
     np.testing.assert_allclose(np.asarray(out.masks), np.asarray(ref.masks),
                                atol=1e-4)
+
+
+def test_pallas_istft_roundtrip(rng):
+    from dl4ss_tpu.ops.pallas_stft import pallas_istft, pallas_stft
+    from dl4ss_tpu.ops import istft
+    x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    spec = pallas_stft(x)
+    y = pallas_istft(spec)
+    assert y.shape == (2, spec.shape[1] * 128 - 128)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x[:, :y.shape[1]]),
+                               atol=2e-4)
+    # matches the XLA istft
+    y_ref = istft(spec)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
+def test_pallas_istft_length_contract(rng):
+    from dl4ss_tpu.ops.pallas_stft import pallas_istft, pallas_stft
+    x = jnp.asarray(rng.standard_normal((1, 40000)).astype(np.float32))
+    spec = pallas_stft(x)
+    assert pallas_istft(spec).shape[-1] == 39936       # reference min_len
+    assert pallas_istft(spec, length=40000).shape[-1] == 40000
+    assert pallas_istft(spec, length=1000).shape[-1] == 1000
