@@ -46,9 +46,15 @@ def _align_energy(params, emb_map, queries):
                    preferred_element_type=jnp.float32)
     q = jnp.einsum("bke,ea->bka", queries, params["w_query"]["w"],
                    preferred_element_type=jnp.float32)
-    s = jnp.tanh(g[:, None] + q[:, :, None, None])       # (B,K,T,F,A)
-    return jnp.einsum("bktfa,ax->bktf", s, params["v"]["w"],
-                      preferred_element_type=jnp.float32).astype(emb_map.dtype)
+    # static loop over the (small) K query channels: the 5-D
+    # (B,K,T,F,A) broadcast costs minutes of TPU compile and K*|g| memory
+    v = params["v"]["w"]
+    outs = []
+    for ki in range(queries.shape[1]):
+        s = jnp.tanh(g + q[:, ki][:, None, None, :])     # (B,T,F,A)
+        outs.append(jnp.einsum("btfa,ax->btf", s, v,
+                               preferred_element_type=jnp.float32))
+    return jnp.stack(outs, axis=1).astype(emb_map.dtype)
 
 
 def apply_mask_head(params, emb_map: jax.Array, queries: jax.Array,

@@ -225,3 +225,17 @@ def test_separator_jit_and_grads(rng):
     # encoder + embedding + classifier all receive gradient
     assert np.abs(np.asarray(g["embedding"]["table"])).max() > 0
     assert np.abs(np.asarray(g["encoder"]["proj"]["w"])).max() > 0
+
+
+def test_separator_bf16_close_to_f32(rng):
+    """The bf16 inference path (bench throughput config) stays within
+    bf16-expected tolerance of f32."""
+    p = init_separator(KEY, CFG, num_frames=T)
+    p16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+    feat = jnp.abs(_feat(rng))
+    idx = jnp.array([[0, 1], [2, 3]])
+    ref = separate(p, feat, CFG, spk_idx=idx)
+    out = separate(p16, feat.astype(jnp.bfloat16), CFG, spk_idx=idx)
+    m16 = np.asarray(out.masks, dtype=np.float32)
+    np.testing.assert_allclose(m16, np.asarray(ref.masks), atol=0.05)
+    assert np.abs(m16 - np.asarray(ref.masks)).mean() < 0.01
