@@ -42,6 +42,74 @@ def _load_mix(path, cfg):
     return wav.astype(np.float32), min(n, cfg.max_len)
 
 
+def separate_long(params, wav: np.ndarray, cfg, spk_idx=None,
+                  overlap_seconds: float = 1.0):
+    """Separate an arbitrarily long mixture — a capability the reference
+    lacks (it hard-crops at MAX_LEN, predata_multiAims.py:144).
+
+    The wav is processed in max_len windows overlapping by `overlap_seconds`;
+    each chunk runs through the jitted fixed-shape separator, channels are
+    aligned to the previous chunk by waveform correlation over the overlap,
+    and chunks are cross-faded. Returns (K, len(wav)) float32.
+    """
+    import jax
+
+    n = len(wav)
+    win = cfg.max_len
+    if n <= win:
+        padded = np.pad(wav.astype(np.float32), (0, win - n))
+        out = _separate_chunk(params, padded, cfg, spk_idx)
+        return out[:, :n]
+    ov = min(int(overlap_seconds * cfg.frame_rate), win // 4)
+    hop = win - ov
+    starts = list(range(0, n - ov, hop))
+    k = cfg.top_k
+    out = np.zeros((k, n), np.float32)
+    weight = np.zeros(n, np.float32)
+    ramp = np.ones(win, np.float32)
+    ramp[:ov] = np.linspace(0.0, 1.0, ov, endpoint=False)
+    ramp[-ov:] = np.linspace(1.0, 0.0, ov, endpoint=False)
+    prev_tail = None
+    for si, s in enumerate(starts):
+        chunk = wav[s:s + win].astype(np.float32)
+        if len(chunk) < win:
+            chunk = np.pad(chunk, (0, win - len(chunk)))
+        sep = np.asarray(_separate_chunk(params, chunk, cfg, spk_idx))
+        # channel alignment is only needed when the classifier picks
+        # speakers per chunk; forced speakers already fix the channel order
+        # (and a weak chunk's correlation could wrongly swap them)
+        if prev_tail is not None and spk_idx is None:
+            # align channel order to the previous chunk over the overlap
+            cur_head = sep[:, :ov]
+            corr = np.abs(prev_tail @ cur_head.T)        # (K, K)
+            perm = np.full(k, -1, np.int64)
+            used = set()
+            for _ in range(k):
+                i, j = np.unravel_index(np.argmax(corr), corr.shape)
+                perm[i] = j
+                corr[i, :] = -1
+                corr[:, j] = -1
+                used.add(j)
+            sep = sep[perm]
+        valid = min(win, n - s)
+        out[:, s:s + valid] += sep[:, :valid] * ramp[:valid]
+        weight[s:s + valid] += ramp[:valid]
+        prev_tail = sep[:, win - ov:win] if s + win < n else None
+    return out / np.maximum(weight, 1e-8)
+
+
+def _separate_chunk(params, chunk: np.ndarray, cfg, spk_idx=None):
+    import jax.numpy as jnp
+    mix = jnp.asarray(chunk)[None]
+    spec = stft(mix, cfg.frame_length, cfg.frame_shift)
+    mag, phasor = magnitude_and_phase(spec)
+    idx = None if spk_idx is None else jnp.asarray(spk_idx)[None]
+    out = separate(params, mag, cfg, spk_idx=idx)
+    wavs = istft(out.pred * phasor[:, None], cfg.frame_length,
+                 cfg.frame_shift, length=cfg.max_len)
+    return np.asarray(wavs[0])
+
+
 def main(argv=None):
     p = add_common_args(argparse.ArgumentParser(description=__doc__))
     p.add_argument("wavs", nargs="+", help="mixture wav files")
@@ -50,6 +118,10 @@ def main(argv=None):
     p.add_argument("--speakers", default=None,
                    help="comma-separated speaker indices to force (teacher "
                         "mode); default: classifier selection")
+    p.add_argument("--long", action="store_true",
+                   help="separate the FULL file via overlapped chunking "
+                        "with cross-chunk channel alignment (the reference "
+                        "hard-crops at MAX_LEN)")
     args = p.parse_args(argv)
 
     cfg = build_cfg(args)
@@ -57,6 +129,22 @@ def main(argv=None):
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
     os.makedirs(args.out, exist_ok=True)
+
+    if args.long:
+        for src_path in args.wavs:
+            raw, rate = read_wav(src_path)
+            if raw.ndim > 1:
+                raw = raw[:, 0]
+            raw = resample_poly_kaiser(raw, rate, cfg.frame_rate)
+            spk = ([int(s) for s in args.speakers.split(",")]
+                   if args.speakers else None)
+            sep = separate_long(state.params, raw, cfg, spk_idx=spk)
+            stem = os.path.splitext(os.path.basename(src_path))[0]
+            for k in range(sep.shape[0]):
+                out_path = os.path.join(args.out, f"{stem}_ch{k}_long.wav")
+                write_wav(out_path, sep[k], cfg.frame_rate)
+                print("wrote", out_path, f"({sep.shape[1]} samples)")
+        return
 
     wavs, true_lens = zip(*[_load_mix(w, cfg) for w in args.wavs])
     mix = jnp.asarray(np.stack(wavs))

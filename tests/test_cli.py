@@ -82,3 +82,24 @@ def test_train_memory_image_mode_cli():
                             "--query-source", "image", "--epochs", "1",
                             "--epoch-size", "1"])
     assert state.params.get("image_query") is not None
+
+
+def test_separate_long_file(tmp_path, rng):
+    """Chunked long-file separation (beyond the reference's MAX_LEN crop):
+    output covers the full input length with channel continuity."""
+    # 3x max_len mixture of two distinct tones
+    n = 3 * 4000
+    t = np.arange(n) / 8000.0
+    s1 = 0.4 * np.sin(2 * np.pi * 300 * t).astype(np.float32)
+    s2 = 0.4 * np.sign(np.sin(2 * np.pi * 97 * t)).astype(np.float32)
+    mix_path = str(tmp_path / "long.wav")
+    write_wav(mix_path, s1 + s2, 8000)
+    out = str(tmp_path / "sep")
+    separate_cli.main([mix_path, "--preset", "synth_tiny", "--long",
+                       "--speakers", "1,3", "--out", out])
+    files = sorted(os.listdir(out))
+    assert files == ["long_ch0_long.wav", "long_ch1_long.wav"]
+    from dl4ss_tpu.data.wavio import read_wav
+    y, _ = read_wav(os.path.join(out, files[0]))
+    assert len(y) == n  # full length, not cropped to max_len
+    assert np.isfinite(y).all()
