@@ -54,6 +54,16 @@ def param_sharding(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def shard_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh: params per `param_sharding` (embedding
+    row-sharded over `model` when possible), everything else — optimizer
+    state, rng, step, memory — replicated."""
+    state = jax.device_put(state, replicated(mesh))
+    params = jax.tree_util.tree_map(
+        jax.device_put, state.params, param_sharding(mesh, state.params))
+    return state._replace(params=params)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a pytree of arrays with the batch axis over `data`."""
     sh = batch_sharding(mesh)

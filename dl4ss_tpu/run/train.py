@@ -33,9 +33,22 @@ def main(argv=None):
                         "utterances (the dis-sp trainer, B10)")
     p.add_argument("--noise-wavs", default=None,
                    help="directory of background-noise wavs (A5 street noise)")
+    p.add_argument("--dp", default=None,
+                   help="data-parallel mesh extent: an integer or 'auto' "
+                        "(all devices / --mp); batches shard over the mesh's "
+                        "data axis, gradients all-reduce over ICI")
+    p.add_argument("--mp", type=int, default=None,
+                   help="model-parallel mesh extent (embedding table "
+                        "row-sharded when it divides num_speakers)")
     args = p.parse_args(argv)
 
     cfg = build_cfg(args)
+    if args.dp is not None or args.mp is not None:
+        import jax
+        mp = args.mp if args.mp is not None else max(cfg.mp_size, 1)
+        dp = (len(jax.devices()) // mp if args.dp in (None, "auto")
+              else int(args.dp))
+        cfg = cfg.replace(dp_size=max(dp, 1), mp_size=mp)
     if args.mode == "adversarial":
         cfg = cfg.replace(use_discriminator=True)
     bank, cfg, _ = load_bank(cfg, args)

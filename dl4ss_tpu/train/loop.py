@@ -8,6 +8,7 @@ and the data source a device-resident utterance bank.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional
 
@@ -17,7 +18,8 @@ import numpy as np
 
 from dl4ss_tpu.config import Config
 from dl4ss_tpu.data.synth import featurize, make_synthetic_bank, sample_mixtures
-from dl4ss_tpu.parallel.mesh import make_mesh
+from dl4ss_tpu.parallel.mesh import (make_mesh, replicated, shard_batch,
+                                     shard_state)
 from dl4ss_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from dl4ss_tpu.train.metrics import MetricsWriter
 from dl4ss_tpu.train.state import create_train_state
@@ -57,6 +59,25 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
     if resume and checkpoint_dir and os.path.isdir(checkpoint_dir):
         state = restore_checkpoint(checkpoint_dir, state)
 
+    # ---- device mesh (SURVEY §2.2): batch over `data`, embedding over
+    # `model`, gradient all-reduce inserted by XLA and riding ICI ----
+    mesh = None
+    if cfg.dp_size * cfg.mp_size > 1:
+        n_dev = len(jax.devices())
+        if cfg.dp_size * cfg.mp_size > n_dev:
+            raise ValueError(
+                f"dp_size*mp_size = {cfg.dp_size}*{cfg.mp_size} exceeds the "
+                f"{n_dev} available device(s)")
+        if cfg.batch_size % cfg.dp_size:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must divide dp_size="
+                f"{cfg.dp_size} for even batch sharding")
+        mesh = make_mesh(dp=cfg.dp_size, mp=cfg.mp_size)
+        state = shard_state(state, mesh)
+        bank = jax.device_put(bank, replicated(mesh))
+        if noise_bank is not None:
+            noise_bank = jax.device_put(noise_bank, replicated(mesh))
+
     writer = MetricsWriter(metrics_path)
     if mode == "joint":
         fused = make_fused_step(cfg, epoch_size, noise_bank=noise_bank)
@@ -76,11 +97,23 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
                 from dl4ss_tpu.data.synth import same_speaker_real_specs
                 feats = dict(feats, real_specs=same_speaker_real_specs(
                     k_sp, batch, bank, cfg))
+            if mesh is not None:
+                feats = shard_batch(feats, mesh)
             return step_fn(state._replace(rng=rng), feats)
 
     eval_step = make_eval_step(cfg)
     sdr_history = []
     start_epoch = int(state.step) // max(epoch_size, 1)
+    mesh_ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
+                else contextlib.nullcontext())
+    with mesh_ctx:
+        return _epoch_loop(cfg, state, bank, epochs, epoch_size, start_epoch,
+                           run_one, eval_step, sdr_history, writer,
+                           checkpoint_dir, eval_every)
+
+
+def _epoch_loop(cfg, state, bank, epochs, epoch_size, start_epoch, run_one,
+                eval_step, sdr_history, writer, checkpoint_dir, eval_every):
     for epoch in range(start_epoch, epochs):
         last_metrics = {}
         for _ in range(epoch_size):

@@ -64,6 +64,36 @@ def test_fused_step_dp_matches_single_device():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_cli_train_dp_matches_single_device(tmp_path):
+    """`run.train --dp/--mp` drives the mesh end-to-end: the CLI run on a
+    (4,2) mesh produces the same parameters as the single-device CLI run."""
+    from dl4ss_tpu.run.train import main
+
+    common = ["--preset", "synth_tiny", "--batch-size", "8",
+              "--epochs", "1", "--epoch-size", "2", "--seed", "3"]
+    st_dp = main(common + ["--dp", "4", "--mp", "2"])
+    assert st_dp.params["embedding"]["table"].sharding.spec[0] == "model"
+    st_1 = main(common)
+    a = np.asarray(st_dp.params["encoder"]["proj"]["w"])
+    b = np.asarray(st_1.params["encoder"]["proj"]["w"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_cli_train_dp_auto():
+    from dl4ss_tpu.run.train import main
+    st = main(["--preset", "synth_tiny", "--batch-size", "8",
+               "--epochs", "1", "--epoch-size", "1", "--dp", "auto"])
+    assert st.params["encoder"]["proj"]["w"].sharding.is_fully_replicated
+
+
+def test_train_loop_dp_validates_batch_divisibility():
+    import pytest
+    from dl4ss_tpu.train.loop import train_loop
+    cfg = preset("synth_tiny").replace(batch_size=3, dp_size=4)
+    with pytest.raises(ValueError, match="batch_size"):
+        train_loop(cfg, max_epochs=1, epoch_size=1)
+
+
 def test_shard_batch_places_leading_axis():
     mesh = make_mesh(dp=8, mp=1)
     x = {"a": np.zeros((16, 5), np.float32)}
