@@ -47,7 +47,8 @@ class Wsj0MixSampler:
     and yields epoch-finite batches of device index/gain arrays."""
 
     def __init__(self, list_dir, wav_root, cfg: Config, split: str = "train",
-                 mix_ks: Sequence[int] = (2,), max_entries: Optional[int] = None):
+                 mix_ks: Sequence[int] = (2,), max_entries: Optional[int] = None,
+                 spk2idx: Optional[dict] = None):
         self.cfg = cfg
         self.entries: List[Wsj0MixEntry] = []
         for k in mix_ks:
@@ -63,9 +64,20 @@ class Wsj0MixSampler:
         assert all(len(e.paths) == self.k for e in self.entries), \
             "mixed k within one sampler; use one sampler per k"
 
-        # speaker vocabulary across the lists (spk2idx contract)
-        spk_set = sorted({s for e in self.entries for s in e.speakers})
-        self.spk2idx = {s: i for i, s in enumerate(spk_set)}
+        # speaker vocabulary across the lists (spk2idx contract); a caller
+        # may inject the TRAIN vocabulary so a cv/dev sampler indexes the
+        # same embedding table rows
+        if spk2idx is None:
+            spk_set = sorted({s for e in self.entries for s in e.speakers})
+            self.spk2idx = {s: i for i, s in enumerate(spk_set)}
+        else:
+            self.spk2idx = dict(spk2idx)
+            missing = ({s for e in self.entries for s in e.speakers}
+                       - set(self.spk2idx))
+            if missing:
+                raise ValueError(
+                    f"list speakers {sorted(missing)} absent from the "
+                    f"provided spk2idx vocabulary")
         self.idx2spk = {i: s for s, i in self.spk2idx.items()}
 
         # unique utterance paths -> bank rows

@@ -68,6 +68,20 @@ def main(argv=None):
     else:
         bank, cfg, idx2spk = load_bank(cfg, args)
         n_batches = args.batches
+    if args.checkpoint_dir:
+        # shapes must come from the TRAINING config, not the eval data:
+        # a checkpoint trained with a different speaker inventory would
+        # otherwise fail deep inside orbax (or silently mis-evaluate)
+        from dl4ss_tpu.train.checkpoint import load_cfg
+        ck_cfg = load_cfg(args.checkpoint_dir)
+        if ck_cfg is not None:
+            if args.list_dir and sampler.num_speakers > ck_cfg.num_speakers:
+                raise SystemExit(
+                    f"the lists reference {sampler.num_speakers} speakers "
+                    f"but the checkpoint was trained with "
+                    f"{ck_cfg.num_speakers}; evaluate with the training "
+                    f"lists' vocabulary or a matching checkpoint")
+            cfg = cfg.replace(num_speakers=ck_cfg.num_speakers)
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
@@ -100,7 +114,11 @@ def main(argv=None):
         if args.bss_eval:
             res = bss_eval_sources(feats["source_wavs"],
                                    out["pred_wavs"], flen=512)
-            all_sdr.append(np.asarray(res.sdr))
+            # dead (zero-gain) channels in variable-speaker configs score
+            # ~-120 dB against a silent reference — mask them out, mirroring
+            # the SI-SDR path's channel_live handling (eval/sisdr.py:41-58)
+            live = np.asarray(feats["channel_live"]).astype(bool)
+            all_sdr.append(np.asarray(res.sdr)[live])
         if args.export_wavs and b == 0:
             names = [[idx2spk[int(s)] for s in row]
                      for row in np.asarray(batch.spk_idx)]
@@ -111,7 +129,7 @@ def main(argv=None):
             print(f"exported {n} wavs to {args.export_wavs}/")
 
     sisdr = float(np.mean(np.concatenate(all_sisdr)))
-    print(f"SI-SDR over {args.batches} batches: {sisdr:.2f} dB")
+    print(f"SI-SDR over {n_batches} batches: {sisdr:.2f} dB")
     if all_sdr:
         print(f"BSS-Eval SDR: {float(np.mean(np.concatenate(all_sdr))):.2f} dB")
     return sisdr

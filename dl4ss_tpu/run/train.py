@@ -33,6 +33,14 @@ def main(argv=None):
                         "utterances (the dis-sp trainer, B10)")
     p.add_argument("--noise-wavs", default=None,
                    help="directory of background-noise wavs (A5 street noise)")
+    p.add_argument("--list-dir", default=None,
+                   help="official wsj0-mix list directory "
+                        "(create-speaker-mixtures): train epoch-finite from "
+                        "mix_{k}_spk_tr.txt, the reference's list recipe "
+                        "(TDAA_beta/predata_fromList.py:80-233)")
+    p.add_argument("--wav-root", default=None,
+                   help="root the list wav paths are relative to")
+    p.add_argument("--mix-k", type=int, default=2)
     p.add_argument("--dp", default=None,
                    help="data-parallel mesh extent: an integer or 'auto' "
                         "(all devices / --mp); batches shard over the mesh's "
@@ -51,7 +59,28 @@ def main(argv=None):
         cfg = cfg.replace(dp_size=max(dp, 1), mp_size=mp)
     if args.mode == "adversarial":
         cfg = cfg.replace(use_discriminator=True)
-    bank, cfg, _ = load_bank(cfg, args)
+    sampler = eval_batch = None
+    if args.list_dir:
+        # official list-driven training (the headline wsj0-2mix recipe);
+        # the dev batch comes from the cv list under the TRAIN vocabulary
+        import os
+        from dl4ss_tpu.data.listsampler import Wsj0MixSampler
+        from dl4ss_tpu.data.wsj0mix import mix_list_name
+        if args.mode == "memory":
+            raise SystemExit("--list-dir is not supported in memory mode")
+        root = args.wav_root or "."
+        sampler = Wsj0MixSampler(args.list_dir, root, cfg, args.split,
+                                 mix_ks=(args.mix_k,))
+        cfg = cfg.replace(num_speakers=sampler.num_speakers)
+        if os.path.exists(os.path.join(args.list_dir,
+                                       mix_list_name(args.mix_k, "valid"))):
+            dev = Wsj0MixSampler(args.list_dir, root, cfg, "valid",
+                                 mix_ks=(args.mix_k,),
+                                 spk2idx=sampler.spk2idx)
+            eval_batch = next(dev.batches(cfg.batch_size, shuffle=False))
+        bank = None
+    else:
+        bank, cfg, _ = load_bank(cfg, args)
     noise_bank = None
     if args.noise_wavs:
         import os
@@ -71,7 +100,7 @@ def main(argv=None):
         seed=args.seed, mode=args.mode, metrics_path=args.metrics,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         eval_every=args.eval_every, noise_bank=noise_bank,
-        dis_sp=args.dis_sp)
+        dis_sp=args.dis_sp, sampler=sampler, eval_batch=eval_batch)
     if sdr:
         print(f"final SI-SDR: {sdr[-1]:.2f} dB (best {max(sdr):.2f})")
     return state

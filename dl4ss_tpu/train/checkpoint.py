@@ -11,12 +11,14 @@ life-long memory, which the Keras stack also persists as a layer weight
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
 import jax
 import orbax.checkpoint as ocp
 
+from dl4ss_tpu.config import Config
 from dl4ss_tpu.train.state import TrainState
 
 
@@ -26,14 +28,29 @@ def _manager(directory) -> ocp.CheckpointManager:
         options=ocp.CheckpointManagerOptions(max_to_keep=5, create=True))
 
 
-def save_checkpoint(directory, state: TrainState, step: Optional[int] = None
-                    ) -> int:
+def save_checkpoint(directory, state: TrainState, step: Optional[int] = None,
+                    cfg: Optional[Config] = None) -> int:
     step = int(state.step) if step is None else int(step)
     mgr = _manager(directory)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
     mgr.close()
+    if cfg is not None:
+        # record the training config beside the checkpoints so evaluators
+        # can rebuild the exact state shapes (speaker count above all)
+        with open(os.path.join(directory, "cfg.json"), "w") as f:
+            f.write(cfg.to_json())
     return step
+
+
+def load_cfg(directory) -> Optional[Config]:
+    """The Config the checkpoints in `directory` were trained with, if the
+    trainer recorded one (save_checkpoint(cfg=...))."""
+    path = os.path.join(directory, "cfg.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return Config(**json.load(f))
 
 
 def latest_step(directory) -> Optional[int]:
@@ -76,6 +93,27 @@ def load_components(state: TrainState, sources: dict,
     """
     params = dict(state.params)
     for component, directory in sources.items():
-        donor = restore_checkpoint(directory, state, step)
-        params[component] = donor.params[component]
+        mgr = _manager(directory)
+        use = mgr.latest_step() if step is None else step
+        # restore WITHOUT a template: the donor checkpoint may come from a
+        # different config (other component shapes, other optimizer state),
+        # so only the requested params subtree is read and validated here
+        raw = mgr.restore(use)
+        mgr.close()
+        donor_params = raw["params"] if isinstance(raw, dict) else raw.params
+        if component not in donor_params:
+            raise KeyError(
+                f"checkpoint {directory!r} has no component {component!r}; "
+                f"available: {sorted(donor_params)}")
+        donor = donor_params[component]
+        want = jax.tree_util.tree_map(lambda x: x.shape,
+                                      state.params[component])
+        got = jax.tree_util.tree_map(lambda x: x.shape, donor)
+        if want != got:
+            raise ValueError(
+                f"component {component!r} from {directory!r} has shapes "
+                f"{got}, expected {want}")
+        params[component] = jax.tree_util.tree_map(
+            lambda cur, d: jax.numpy.asarray(d, cur.dtype),
+            state.params[component], donor)
     return state._replace(params=params)

@@ -38,20 +38,32 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
                resume: bool = False,
                eval_every: int = 1,
                noise_bank: Optional[jax.Array] = None,
-               dis_sp: bool = False):
+               dis_sp: bool = False,
+               sampler=None,
+               eval_batch=None):
     """mode: joint | adversarial | classifier.
 
     `noise_bank` enables the street-noise augment (A5); `dis_sp` feeds the
     adversarial discriminator different-utterance same-speaker real examples
     (B10) instead of the clean targets (B9).
 
+    `sampler` switches to the official list-driven recipe (a
+    `Wsj0MixSampler`): each epoch is one shuffled, epoch-finite pass over
+    the mixture lists with floor-division batch count — the reference's
+    `yield False` loop (TDAA_beta/predata_fromList.py:80-233 feeding
+    main_run_sstune*.py). `eval_batch` is the held-out dev MixtureBatch
+    scored each epoch (defaults to the first unshuffled list batch).
+
     Returns (final state, list of per-epoch mean SI-SDR).
     Seeds follow the reference convention (np/torch/random seed 1,
     main_run.py:21-23): one integer seed drives bank, init, and sampling.
     """
     epochs = max_epochs if max_epochs is not None else cfg.max_epoch
-    epoch_size = epoch_size if epoch_size is not None else cfg.epoch_size
-    if bank is None:
+    if sampler is not None:
+        epoch_size = max(sampler.num_batches(cfg.batch_size), 1)
+    else:
+        epoch_size = epoch_size if epoch_size is not None else cfg.epoch_size
+    if bank is None and sampler is None:
         bank = jnp.asarray(make_synthetic_bank(
             seed, cfg.num_speakers, 4, cfg.max_len))
     key = jax.random.PRNGKey(seed)
@@ -74,32 +86,70 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
                 f"{cfg.dp_size} for even batch sharding")
         mesh = make_mesh(dp=cfg.dp_size, mp=cfg.mp_size)
         state = shard_state(state, mesh)
-        bank = jax.device_put(bank, replicated(mesh))
+        if bank is not None:
+            bank = jax.device_put(bank, replicated(mesh))
         if noise_bank is not None:
             noise_bank = jax.device_put(noise_bank, replicated(mesh))
 
     writer = MetricsWriter(metrics_path)
-    if mode == "joint":
-        fused = make_fused_step(cfg, epoch_size, noise_bank=noise_bank)
-
-        def run_one(state):
-            return fused(state, bank)
-    else:
-        step_fn = {"adversarial": make_adversarial_step,
+    if sampler is not None:
+        # list-driven training: every step consumes the next list batch
+        if dis_sp:
+            raise NotImplementedError(
+                "dis-sp real pools are drawn from the speaker bank; list "
+                "mode supports joint/classifier/adversarial (dis-ss)")
+        step_fn = {"joint": make_train_step,
+                   "adversarial": make_adversarial_step,
                    "classifier": make_classifier_step}[mode](cfg, epoch_size)
 
-        def run_one(state):
-            rng, sub = jax.random.split(state.rng)
-            k_mix, k_sp = jax.random.split(sub)
-            batch = sample_mixtures(k_mix, bank, cfg, noise_bank=noise_bank)
-            feats = featurize(batch, cfg)
-            if dis_sp and mode == "adversarial":
-                from dl4ss_tpu.data.synth import same_speaker_real_specs
-                feats = dict(feats, real_specs=same_speaker_real_specs(
-                    k_sp, batch, bank, cfg))
-            if mesh is not None:
-                feats = shard_batch(feats, mesh)
-            return step_fn(state._replace(rng=rng), feats)
+        def run_epoch(state, epoch):
+            last = {}
+            for batch in sampler.batches(cfg.batch_size, shuffle=True,
+                                         seed=seed + 7919 * (epoch + 1)):
+                feats = featurize(batch, cfg)
+                if mesh is not None:
+                    feats = shard_batch(feats, mesh)
+                state, last = step_fn(state, feats)
+            return state, last
+
+        if eval_batch is None:
+            eval_batch = next(sampler.batches(cfg.batch_size, shuffle=False))
+
+        def eval_batch_fn(key):
+            return eval_batch
+    else:
+        if mode == "joint":
+            fused = make_fused_step(cfg, epoch_size, noise_bank=noise_bank)
+
+            def run_one(state):
+                return fused(state, bank)
+        else:
+            step_fn = {"adversarial": make_adversarial_step,
+                       "classifier": make_classifier_step}[mode](
+                           cfg, epoch_size)
+
+            def run_one(state):
+                rng, sub = jax.random.split(state.rng)
+                k_mix, k_sp = jax.random.split(sub)
+                batch = sample_mixtures(k_mix, bank, cfg,
+                                        noise_bank=noise_bank)
+                feats = featurize(batch, cfg)
+                if dis_sp and mode == "adversarial":
+                    from dl4ss_tpu.data.synth import same_speaker_real_specs
+                    feats = dict(feats, real_specs=same_speaker_real_specs(
+                        k_sp, batch, bank, cfg))
+                if mesh is not None:
+                    feats = shard_batch(feats, mesh)
+                return step_fn(state._replace(rng=rng), feats)
+
+        def run_epoch(state, epoch):
+            last = {}
+            for _ in range(epoch_size):
+                state, last = run_one(state)
+            return state, last
+
+        def eval_batch_fn(key):
+            return sample_mixtures(key, bank, cfg, train=False)
 
     eval_step = make_eval_step(cfg)
     sdr_history = []
@@ -107,22 +157,19 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
     mesh_ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
                 else contextlib.nullcontext())
     with mesh_ctx:
-        return _epoch_loop(cfg, state, bank, epochs, epoch_size, start_epoch,
-                           run_one, eval_step, sdr_history, writer,
+        return _epoch_loop(cfg, state, epochs, start_epoch, run_epoch,
+                           eval_batch_fn, eval_step, sdr_history, writer,
                            checkpoint_dir, eval_every)
 
 
-def _epoch_loop(cfg, state, bank, epochs, epoch_size, start_epoch, run_one,
+def _epoch_loop(cfg, state, epochs, start_epoch, run_epoch, eval_batch_fn,
                 eval_step, sdr_history, writer, checkpoint_dir, eval_every):
     for epoch in range(start_epoch, epochs):
-        last_metrics = {}
-        for _ in range(epoch_size):
-            state, m = run_one(state)
-            last_metrics = m
+        state, last_metrics = run_epoch(state, epoch)
         if eval_every and (epoch + 1) % eval_every == 0:
             rng, sub = jax.random.split(state.rng)
             state = state._replace(rng=rng)
-            batch = sample_mixtures(sub, bank, cfg, train=False)
+            batch = eval_batch_fn(sub)
             feats = featurize(batch, cfg)
             ev = eval_step(state.params, feats)
             sdr = float(jnp.mean(ev["si_sdr"]))
@@ -143,6 +190,6 @@ def _epoch_loop(cfg, state, bank, epochs, epoch_size, start_epoch, run_one,
             writer.write("epoch", int(state.step), epoch=epoch,
                          **{k: v for k, v in last_metrics.items()})
         if checkpoint_dir and (epoch + 1) % cfg.checkpoint_every_epochs == 0:
-            save_checkpoint(checkpoint_dir, state)
+            save_checkpoint(checkpoint_dir, state, cfg=cfg)
     writer.close()
     return state, sdr_history

@@ -70,6 +70,41 @@ def test_evaluate_list_protocol(tmp_path, rng):
     assert np.isfinite(sisdr)
 
 
+def test_train_from_lists_then_evaluate_cli(tmp_path, rng):
+    """End-to-end list-driven training (the official wsj0-2mix recipe,
+    TDAA_beta/predata_fromList.py:80-233): epoch-finite tr epochs, cv dev
+    batch, cfg recorded in the checkpoint, then `evaluate --list-dir`
+    restores against the CHECKPOINT's speaker count."""
+    from tests.test_list_and_memory import _make_wsj0_layout
+    ldir, root = _make_wsj0_layout(tmp_path, rng)
+    ck = str(tmp_path / "ck")
+    state = train_cli.main([
+        "--preset", "synth_tiny", "--set", "max_len_seconds=0.375",
+        "--batch-size", "2", "--epochs", "1", "--list-dir", ldir,
+        "--wav-root", root, "--checkpoint-dir", ck,
+        "--set", "checkpoint_every_epochs=1"])
+    # list vocabulary (4 speakers), not the preset's 8
+    assert state.params["embedding"]["table"].shape[0] == 4
+    assert os.path.exists(os.path.join(ck, "cfg.json"))
+    sisdr = evaluate_cli.main([
+        "--preset", "synth_tiny", "--set", "max_len_seconds=0.375",
+        "--set", "batch_size_eval=2", "--list-dir", ldir,
+        "--wav-root", root, "--split", "train", "--teacher-forced",
+        "--checkpoint-dir", ck])
+    assert np.isfinite(sisdr)
+
+
+def test_train_from_lists_classifier_cli(tmp_path, rng):
+    """B16: the TDAA classifier trainer driven from the official lists."""
+    from tests.test_list_and_memory import _make_wsj0_layout
+    ldir, root = _make_wsj0_layout(tmp_path, rng)
+    state = train_cli.main([
+        "--preset", "synth_tiny", "--set", "max_len_seconds=0.375",
+        "--batch-size", "2", "--epochs", "1", "--mode", "classifier",
+        "--list-dir", ldir, "--wav-root", root])
+    assert int(np.asarray(state.step)) == 3  # floor(6 entries / batch 2)
+
+
 def test_train_memory_mode_cli():
     state = train_cli.main(["--preset", "synth_tiny", "--mode", "memory",
                             "--epochs", "2", "--epoch-size", "2",

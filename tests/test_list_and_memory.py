@@ -41,6 +41,9 @@ def _make_wsj0_layout(tmp_path, rng, n_spk=4, n_utt=2):
     ldir = tmp_path / "lists"
     os.makedirs(ldir, exist_ok=True)
     (ldir / "mix_2_spk_tr.txt").write_text("\n".join(lines) + "\n")
+    # cv list over the SAME speakers (as in the official recipe, where cv
+    # is drawn from si_tr_s): reversed pairings of the tr utterances
+    (ldir / "mix_2_spk_cv.txt").write_text("\n".join(lines[::-1][:4]) + "\n")
     return str(ldir), str(tmp_path)
 
 
