@@ -78,7 +78,8 @@ def sample_mixtures(key: jax.Array, bank: jax.Array, cfg: Config,
     b = batch_size or cfg.batch_size
     k = cfg.max_mix
     s, u, n = bank.shape
-    k_spk, k_utt, k_db, k_ch, k_shift, k_live = jax.random.split(key, 6)
+    (k_spk, k_utt, k_db, k_ch, k_shift, k_live,
+     k_noise) = jax.random.split(key, 7)
 
     # distinct speakers per item
     def pick(kk):
@@ -112,7 +113,7 @@ def sample_mixtures(key: jax.Array, bank: jax.Array, cfg: Config,
     # street-noise add: 0.3 x a randomly-circular-shifted noise wav summed
     # into the mixture only (predata_multiAims_noisedB.py:198-222)
     if cfg.add_bgd_noise and noise_bank is not None:
-        k_nidx, k_nshift = jax.random.split(k_live)
+        k_nidx, k_nshift = jax.random.split(k_noise)
         nidx = jax.random.randint(k_nidx, (b,), 0, noise_bank.shape[0])
         nshift = jax.random.randint(k_nshift, (b,), 0, noise_bank.shape[1])
         noise = jax.vmap(lambda w, sh: jnp.roll(w, sh))(

@@ -21,21 +21,26 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
-    pos, fmt, raw = 12, None, None
+    pos, fmt, fmt_body, raw = 12, None, b"", None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt == 0xFFFE and len(raw) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_fmt = 1
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the real format code is the first u16 of the SubFormat GUID in
+        # the fmt extension (base 16 + cbSize 2 + validbits 2 + mask 4)
+        if len(fmt_body) < 26:
+            raise ValueError(f"{path}: truncated extensible fmt chunk")
+        audio_fmt = struct.unpack("<H", fmt_body[24:26])[0]
     if audio_fmt == 1:  # PCM
         if bits == 16:
             x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0

@@ -28,6 +28,31 @@ def test_wav_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(y, x, atol=6e-5)
 
 
+def test_read_extensible_wav(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE dispatches on the SubFormat GUID: an
+    extensible IEEE-float file must decode as float, not PCM garbage."""
+    import struct
+    x = np.linspace(-0.5, 0.5, 64).astype(np.float32)
+    raw = x.tobytes()
+    for code, expect in ((3, x), (1, None)):
+        guid = struct.pack("<I", code) + bytes.fromhex(
+            "000010800000aa00389b71").rjust(12, b"\x00")
+        fmt = (struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000 * 4, 4, 32)
+               + struct.pack("<HHI", 22, 32, 4) + guid)
+        body = (b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(raw)) + raw)
+        p = tmp_path / f"ext{code}.wav"
+        p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+        if expect is not None:
+            y, rate = read_wav(p)
+            assert rate == 8000
+            np.testing.assert_allclose(y, expect, atol=1e-7)
+        else:  # PCM32 subformat: decodes as ints, not float garbage
+            y, _ = read_wav(p)
+            assert np.all(np.abs(y) <= 1.0)
+
+
 def test_resample_tone():
     rate_in, rate_out = 16000, 8000
     t = np.arange(rate_in) / rate_in
