@@ -64,13 +64,19 @@ def tpu_pipeline_rate(batch: int, bf16: bool):
     return batch / dt, dt
 
 
-def cpu_reference_rate(max_batches=3):
+def cpu_reference_rate(max_batches=3, num_threads=None):
     """The reference's own pipeline shape on CPU: numpy STFT (librosa
-    equivalent), torch BiGRU encoder + embedding-dot masks, numpy iSTFT."""
+    equivalent), torch BiGRU encoder + embedding-dot masks, numpy iSTFT.
+
+    num_threads=None keeps torch's default (all cores) — the FAIR baseline
+    used for vs_baseline; pass 1 for the reference's literal single-process
+    behavior (reported alongside, see BASELINE.md).
+    """
     import torch
 
     hidden, emb, freq, n_fft, hop = 300, 50, 129, 256, 128
-    torch.set_num_threads(1)  # the reference is a single-process pipeline
+    if num_threads is not None:
+        torch.set_num_threads(num_threads)
     enc = torch.nn.GRU(freq, hidden, 2, batch_first=True, bidirectional=True)
     proj = torch.nn.Linear(2 * hidden, freq * emb)
     table = torch.randn(103, emb)
@@ -119,10 +125,16 @@ def cpu_reference_rate(max_batches=3):
 def main():
     rate_ref, dt_ref = tpu_pipeline_rate(B, bf16=False)      # reference shape
     rate_big, dt_big = tpu_pipeline_rate(TPU_B, bf16=True)   # throughput cfg
+    # Fair baseline: torch default threading (all cores). The reference's
+    # literal single-threaded rate is also measured and logged to stderr so
+    # both numbers stay on record (VERDICT r1 weak #1).
     cpu_rate, _ = cpu_reference_rate()
+    cpu_rate_1t, _ = cpu_reference_rate(num_threads=1)
     print(f"tpu f32  B={B}: {rate_ref:.1f} mixtures/s ({dt_ref*1e3:.2f} ms); "
           f"tpu bf16 B={TPU_B}: {rate_big:.1f} mixtures/s "
-          f"({dt_big*1e3:.2f} ms); cpu reference: {cpu_rate:.2f} mixtures/s",
+          f"({dt_big*1e3:.2f} ms); cpu reference (default threads): "
+          f"{cpu_rate:.2f} mixtures/s; cpu reference (1 thread): "
+          f"{cpu_rate_1t:.2f} mixtures/s",
           file=sys.stderr)
     best = max(rate_ref, rate_big)
     print(json.dumps({

@@ -16,7 +16,10 @@ from dl4ss_tpu.train.loop import train_loop
 def main(argv=None):
     p = add_common_args(argparse.ArgumentParser(description=__doc__))
     p.add_argument("--mode", default="joint",
-                   choices=["joint", "adversarial", "classifier", "memory"])
+                   choices=["joint", "dense", "adversarial", "classifier",
+                            "memory"],
+                   help="dense = exact-reference all-speaker channel layout "
+                        "(Torch_multi/main_run.py:473-506)")
     p.add_argument("--query-source", default="speech",
                    choices=["speech", "image"],
                    help="memory mode: voiceprint (Cocktail) or MNIST digit "

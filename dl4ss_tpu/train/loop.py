@@ -24,8 +24,8 @@ from dl4ss_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from dl4ss_tpu.train.metrics import MetricsWriter
 from dl4ss_tpu.train.state import create_train_state
 from dl4ss_tpu.train.steps import (make_adversarial_step, make_classifier_step,
-                                   make_eval_step, make_fused_step,
-                                   make_train_step)
+                                   make_dense_train_step, make_eval_step,
+                                   make_fused_step, make_train_step)
 
 
 def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
@@ -99,6 +99,7 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
                 "dis-sp real pools are drawn from the speaker bank; list "
                 "mode supports joint/classifier/adversarial (dis-ss)")
         step_fn = {"joint": make_train_step,
+                   "dense": make_dense_train_step,
                    "adversarial": make_adversarial_step,
                    "classifier": make_classifier_step}[mode](cfg, epoch_size)
 
@@ -124,7 +125,8 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
             def run_one(state):
                 return fused(state, bank)
         else:
-            step_fn = {"adversarial": make_adversarial_step,
+            step_fn = {"dense": make_dense_train_step,
+                       "adversarial": make_adversarial_step,
                        "classifier": make_classifier_step}[mode](
                            cfg, epoch_size)
 

@@ -137,33 +137,58 @@ def make_fused_step(cfg: Config, steps_per_epoch: int = 1,
 
 def make_dense_train_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
     """Exact-reference channel layout: every speaker owns a loss channel
-    (main_run.py:473-506); targets scattered by speaker id, all-channel MSE."""
+    (main_run.py:473-506); targets scattered by speaker id, all-channel MSE,
+    plus the sum-to-one term when cfg.sum_loss_weight > 0 (the reference's
+    disabled-by-default 0.5-weighted loss, main_run.py:508-513). With
+    cfg.is_complex_mask the channels carry the cRM complex-RI layout
+    (main_run_sstune_cRM_EvalVer.py:552-568) scattered the same way."""
     opt = make_optimizer(cfg, steps_per_epoch)
 
     @jax.jit
     def step(state: TrainState, feats) -> tuple:
         b = feats["mix_feas"].shape[0]
         s = cfg.num_speakers
-        gate = jnp.zeros((b, s), jnp.float32)
-        gate = gate.at[jnp.arange(b)[:, None], feats["spk_idx"]].max(
-            feats["channel_live"].astype(jnp.float32))
-        t, f = feats["mix_feas"].shape[1:]
-        target = jnp.zeros((b, s, t, f), jnp.float32)
         live = feats["channel_live"].astype(jnp.float32)
-        target = target.at[jnp.arange(b)[:, None], feats["spk_idx"]].add(
-            feats["src_feas"] * live[..., None, None])
+        gate = jnp.zeros((b, s), jnp.float32)
+        gate = gate.at[jnp.arange(b)[:, None], feats["spk_idx"]].max(live)
+        t, f = feats["mix_feas"].shape[1:]
+        rows = jnp.arange(b)[:, None]
+        if cfg.is_complex_mask:
+            target = jnp.zeros((b, s, t, f, 2), jnp.float32)
+            target = target.at[rows, feats["spk_idx"]].add(
+                feats["src_ri"] * live[..., None, None, None])
+        else:
+            target = jnp.zeros((b, s, t, f), jnp.float32)
+            target = target.at[rows, feats["spk_idx"]].add(
+                feats["src_feas"] * live[..., None, None])
 
         def loss_fn(gp):
             params = dict(state.params, **gp)
-            out = separate_dense(params, feats["mix_feas"], cfg, gate)
-            return mask_mse_loss(out.pred, target)
+            out = separate_dense(params, feats["mix_feas"], cfg, gate,
+                                 mix_ri=feats.get("mix_ri"))
+            if cfg.is_complex_mask:
+                mask_l = complex_mse_loss(out.pred, target)
+            else:
+                mask_l = mask_mse_loss(out.pred, target)
+            aux = {"mask_loss": mask_l}
+            loss = mask_l
+            if cfg.sum_loss_weight > 0 and not cfg.is_complex_mask:
+                # masks are already zero-gated by separate_dense, so the
+                # channel sum matches the reference's gated sum (:508-513)
+                sl = sum_to_one_loss(out.masks)
+                loss = loss + cfg.sum_loss_weight * sl
+                aux["sum_loss"] = sl
+            return loss, aux
 
         gp = _gen_params(state.params)
-        loss, grads = jax.value_and_grad(loss_fn)(gp)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(gp)
         updates, opt_state = opt.update(grads, state.opt_state, gp)
         params = dict(state.params, **optax.apply_updates(gp, updates))
+        metrics = {"loss": loss, "mask_loss": aux["mask_loss"]}
+        if "sum_loss" in aux:
+            metrics["sum_loss"] = aux["sum_loss"]
         return state._replace(step=state.step + 1, params=params,
-                              opt_state=opt_state), {"loss": loss}
+                              opt_state=opt_state), metrics
 
     return step
 

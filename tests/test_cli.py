@@ -52,6 +52,13 @@ def test_separate_cli(tmp_path, rng):
     assert any("spk1" in f for f in os.listdir(out))
 
 
+def test_train_dense_mode_cli(tmp_path):
+    train_cli.main(["--preset", "synth_tiny", "--mode", "dense",
+                    "--epochs", "1", "--epoch-size", "2",
+                    "--metrics", str(tmp_path / "m.jsonl")])
+    assert os.path.exists(tmp_path / "m.jsonl")
+
+
 def test_classify_cli(tmp_path):
     report = classify_cli.main(["--preset", "synth_tiny", "--epochs", "1",
                                 "--epoch-size", "2", "--eval-batches", "1"])

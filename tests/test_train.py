@@ -67,6 +67,29 @@ def test_dense_step_runs():
     assert np.isfinite(m2["loss"]) and float(m2["loss"]) < float(m1["loss"])
 
 
+def test_dense_step_sum_loss_and_crm():
+    # sum-to-one term active (the reference's 0.5-weighted loss,
+    # main_run.py:508-513) in the dense layout
+    cfg = CFG.replace(sum_loss_weight=0.5)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_dense_train_step(cfg)
+    feats = _feats(cfg)
+    state, m = step(state, feats)
+    assert np.isfinite(float(m["sum_loss"]))
+    assert float(m["loss"]) == pytest.approx(
+        float(m["mask_loss"]) + 0.5 * float(m["sum_loss"]), rel=1e-5)
+    # cRM dense: complex-RI channels scattered by speaker id
+    crm = CFG.replace(is_complex_mask=True)
+    state = create_train_state(jax.random.PRNGKey(0), crm)
+    step = make_dense_train_step(crm)
+    feats = featurize(sample_mixtures(jax.random.PRNGKey(0), BANK, crm), crm)
+    losses = []
+    for _ in range(10):
+        state, m = step(state, feats)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
 def test_classifier_step_learns():
     state = create_train_state(jax.random.PRNGKey(0), CFG)
     step = make_classifier_step(CFG)
