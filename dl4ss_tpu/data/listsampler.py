@@ -28,15 +28,20 @@ from dl4ss_tpu.data.wsj0mix import Wsj0MixEntry, mix_list_name, parse_mix_list
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def mix_from_list(bank: jax.Array, utt_idx: jax.Array, gains_db: jax.Array,
-                  spk_idx: jax.Array, cfg: Config) -> MixtureBatch:
+                  spk_idx: jax.Array, cfg: Config,
+                  live: Optional[jax.Array] = None) -> MixtureBatch:
     """bank (U, N); utt_idx/gains_db/spk_idx (B, K) -> MixtureBatch.
 
     Normalization order matches the reference exactly: crop (bank rows are
     already MAX_LEN) -> mean-sub -> peak-norm -> pad -> per-utterance gain
-    (predata_fromList.py:140-176).
+    (predata_fromList.py:140-176). `live` (B, K) in {0,1} gates padded
+    channels when entries with fewer than K speakers are padded up to the
+    static width (the mixed-k recipe, predata_fromList_123.py:45-110).
     """
     wavs = normalize_utterance(bank[utt_idx])          # (B, K, N)
     gains = 10.0 ** (gains_db / 20.0)
+    if live is not None:
+        gains = gains * live.astype(gains.dtype)
     sources = wavs * gains[..., None]
     return MixtureBatch(mix_wav=jnp.sum(sources, axis=1),
                         source_wavs=sources, spk_idx=spk_idx, gains=gains)
@@ -50,19 +55,24 @@ class Wsj0MixSampler:
                  mix_ks: Sequence[int] = (2,), max_entries: Optional[int] = None,
                  spk2idx: Optional[dict] = None):
         self.cfg = cfg
-        self.entries: List[Wsj0MixEntry] = []
+        # per-k list pools with their own cursors — the mixed 1-3-speaker
+        # recipe (predata_fromList_123.py:45-110); max_entries truncates each
+        # pool like the reference's debug `[:17]` (:98)
+        self.pools: dict = {}
         for k in mix_ks:
             path = os.path.join(list_dir, mix_list_name(k, split))
             if os.path.exists(path):
-                self.entries.extend(parse_mix_list(path))
-        if max_entries:
-            self.entries = self.entries[:max_entries]
+                entries = parse_mix_list(path)
+                if max_entries:
+                    entries = entries[:max_entries]
+                if entries:
+                    self.pools[k] = entries
+        self.entries: List[Wsj0MixEntry] = [
+            e for k in sorted(self.pools) for e in self.pools[k]]
         if not self.entries:
             raise FileNotFoundError(
                 f"no mixture lists for split {split!r} in {list_dir}")
-        self.k = len(self.entries[0].paths)
-        assert all(len(e.paths) == self.k for e in self.entries), \
-            "mixed k within one sampler; use one sampler per k"
+        self.k = max(self.pools)   # static channel width (smaller k padded)
 
         # speaker vocabulary across the lists (spk2idx contract); a caller
         # may inject the TRAIN vocabulary so a cv/dev sampler indexes the
@@ -87,37 +97,59 @@ class Wsj0MixSampler:
         from dl4ss_tpu.data.dirtree import _load_bank
         self.bank = _load_bank(paths, cfg.frame_rate, cfg.max_len)
 
-        self.utt_idx = np.array(
-            [[self.utt2row[p] for p in e.paths] for e in self.entries],
-            np.int32)
-        self.gains_db = np.array([e.gains_db for e in self.entries],
-                                 np.float32)
-        self.spk_idx = np.array(
-            [[self.spk2idx[s] for s in e.speakers] for e in self.entries],
-            np.int32)
+        # per-k index arrays, padded to the static width self.k (padded
+        # channels: utterance row 0, speaker 0, live 0 — zero-gained in
+        # mix_from_list so they never contribute)
+        self._per_k: dict = {}
+        for k, entries in self.pools.items():
+            n = len(entries)
+            utt = np.zeros((n, self.k), np.int32)
+            db = np.zeros((n, self.k), np.float32)
+            spk = np.zeros((n, self.k), np.int32)
+            live = np.zeros((n, self.k), np.float32)
+            for i, e in enumerate(entries):
+                utt[i, :k] = [self.utt2row[p] for p in e.paths]
+                db[i, :k] = e.gains_db
+                spk[i, :k] = [self.spk2idx[s] for s in e.speakers]
+                live[i, :k] = 1.0
+            self._per_k[k] = (utt, db, spk, live)
 
     @property
     def num_speakers(self) -> int:
         return len(self.spk2idx)
 
     def num_batches(self, batch_size: int) -> int:
-        # python-2 floor division semantics (predata_fromList.py:90)
-        return len(self.entries) // batch_size
+        # python-2 floor division semantics, per k-pool — each pool yields
+        # exactly len_k // batch_size batches before the cursor switches
+        # (predata_fromList.py:90; predata_fromList_123.py cursor check)
+        return sum(len(v[0]) // batch_size for v in self._per_k.values())
 
     def epoch(self, batch_size: int, shuffle: bool = True, seed: int = 0
-              ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """Yields (utt_idx, gains_db, spk_idx) batches; ends when exhausted
-        (the reference's `yield False` epoch end, predata_fromList.py:100)."""
-        order = np.arange(len(self.entries))
+              ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray]]:
+        """Yields (utt_idx, gains_db, spk_idx, live) batches; ends when all
+        pools are exhausted (the reference's `yield False`,
+        predata_fromList.py:100). Batches are uniform-k; the epoch consumes
+        contiguous per-k blocks in random order, reproducing the reference's
+        pick-a-k-until-its-list-runs-out cursor walk
+        (predata_fromList_123.py:84-110)."""
+        rng = np.random.default_rng(seed)
+        ks = sorted(self._per_k)
         if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        for b in range(self.num_batches(batch_size)):
-            sel = order[b * batch_size:(b + 1) * batch_size]
-            yield self.utt_idx[sel], self.gains_db[sel], self.spk_idx[sel]
+            rng.shuffle(ks)
+        for k in ks:
+            utt, db, spk, live = self._per_k[k]
+            order = np.arange(len(utt))
+            if shuffle:
+                rng.shuffle(order)
+            for b in range(len(utt) // batch_size):
+                sel = order[b * batch_size:(b + 1) * batch_size]
+                yield utt[sel], db[sel], spk[sel], live[sel]
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0
                 ) -> Iterator[MixtureBatch]:
         bank = jnp.asarray(self.bank)
-        for utt, db, spk in self.epoch(batch_size, shuffle, seed):
+        for utt, db, spk, live in self.epoch(batch_size, shuffle, seed):
             yield mix_from_list(bank, jnp.asarray(utt), jnp.asarray(db),
-                                jnp.asarray(spk), self.cfg)
+                                jnp.asarray(spk), self.cfg,
+                                live=jnp.asarray(live))

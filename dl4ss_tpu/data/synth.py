@@ -93,19 +93,38 @@ def sample_mixtures(key: jax.Array, bank: jax.Array, cfg: Config,
         shifts = jax.random.randint(k_shift, (b, k), 0, n)
         wavs = jax.vmap(jax.vmap(lambda w, sh: jnp.roll(w, sh)))(wavs, shifts)
 
-    # SNR augment: one random channel scaled by 10^(dB/20 * rand)
-    # (predata_multiAims_dB.py:123-130)
-    gains = jnp.ones((b, k))
-    if cfg.db_range > 0 and train and cfg.augment_data:
-        ratio = 10.0 ** (cfg.db_range / 20.0 * jax.random.uniform(k_db, (b,)))
-        chan = jax.random.randint(k_ch, (b,), 0, k)
-        gains = gains.at[jnp.arange(b), chan].set(ratio)
-
-    # variable speaker count: channels beyond the drawn k_live are zeroed
+    # variable speaker count: channels beyond the drawn live count are zeroed
     if cfg.min_mix < cfg.max_mix:
         live = jax.random.randint(k_live, (b,), cfg.min_mix, cfg.max_mix + 1)
-        lane = jnp.arange(k)[None, :] < live[:, None]
-        gains = gains * lane.astype(gains.dtype)
+    else:
+        live = jnp.full((b,), cfg.max_mix)
+
+    # SNR augment, per-item by live speaker count:
+    #  k=2 — one of the two channels scaled by 10^(dB/20*r)
+    #    (predata_multiAims_dB.py:123-130);
+    #  k=3 — the large/small/normal trio: ch0 normal 10^(dB/20*0.5),
+    #    ch1 large 10^(dB/20*(0.5+0.5r)), ch2 small 10^(dB/20*0.5r)
+    #    (predata_multiAims_3dB.py:132-145, applied at :211-217);
+    #  other k — unity (the reference has no rule beyond 3).
+    gains = jnp.ones((b, k))
+    if cfg.db_range > 0 and train and cfg.augment_data:
+        scale = cfg.db_range / 20.0
+        u = jax.random.uniform(k_db, (b, 3))
+        ratio2 = 10.0 ** (scale * u[:, 0])
+        chan = jax.random.randint(k_ch, (b,), 0, min(k, 2))
+        gains2 = gains.at[jnp.arange(b), chan].set(ratio2)
+        if k >= 3:
+            trio = jnp.stack([
+                jnp.full((b,), 10.0 ** (scale * 0.5)),          # normal
+                10.0 ** (scale * (0.5 + 0.5 * u[:, 1])),        # large
+                10.0 ** (scale * (0.5 * u[:, 2])),              # small
+            ], axis=1)
+            gains3 = gains.at[:, :3].set(trio)
+            gains = jnp.where((live == 3)[:, None], gains3, gains)
+        gains = jnp.where((live == 2)[:, None], gains2, gains)
+
+    lane = jnp.arange(k)[None, :] < live[:, None]
+    gains = gains * lane.astype(gains.dtype)
 
     sources = wavs * gains[..., None]
     mix = jnp.sum(sources, axis=1)

@@ -43,7 +43,10 @@ def main(argv=None):
                         "cv/tt protocol instead of sampled mixtures")
     p.add_argument("--wav-root", default=None,
                    help="root the list wav paths are relative to")
-    p.add_argument("--mix-k", type=int, default=2)
+    p.add_argument("--mix-k", default="2",
+                   help="mixture speaker count(s), comma-separated for "
+                        "mixed-k pools (e.g. 1,2,3 — "
+                        "predata_fromList_123.py)")
     p.add_argument("--complement-mask", action="store_true",
                    help="1-speaker complement trick: channel 2 mask becomes "
                         "1 - mask_1 when the classifier sees one speaker "
@@ -58,8 +61,9 @@ def main(argv=None):
         # the reference's eval protocol: mean SDR over the official cv/tt
         # lists (TDAA_beta/main_run_sstune_TestVer.py:30-31,513)
         from dl4ss_tpu.data.listsampler import Wsj0MixSampler
+        mix_ks = tuple(int(x) for x in str(args.mix_k).split(","))
         sampler = Wsj0MixSampler(args.list_dir, args.wav_root or ".", cfg,
-                                 args.split, mix_ks=(args.mix_k,))
+                                 args.split, mix_ks=mix_ks)
         cfg = cfg.replace(num_speakers=max(cfg.num_speakers,
                                            sampler.num_speakers))
         idx2spk = sampler.idx2spk

@@ -43,7 +43,10 @@ def main(argv=None):
                         "(TDAA_beta/predata_fromList.py:80-233)")
     p.add_argument("--wav-root", default=None,
                    help="root the list wav paths are relative to")
-    p.add_argument("--mix-k", type=int, default=2)
+    p.add_argument("--mix-k", default="2",
+                   help="mixture speaker count(s), comma-separated for "
+                        "mixed-k per-pool training (e.g. 1,2,3 — "
+                        "predata_fromList_123.py:45-110)")
     p.add_argument("--dp", default=None,
                    help="data-parallel mesh extent: an integer or 'auto' "
                         "(all devices / --mp); batches shard over the mesh's "
@@ -72,13 +75,15 @@ def main(argv=None):
         if args.mode == "memory":
             raise SystemExit("--list-dir is not supported in memory mode")
         root = args.wav_root or "."
+        mix_ks = tuple(int(x) for x in str(args.mix_k).split(","))
         sampler = Wsj0MixSampler(args.list_dir, root, cfg, args.split,
-                                 mix_ks=(args.mix_k,))
+                                 mix_ks=mix_ks)
         cfg = cfg.replace(num_speakers=sampler.num_speakers)
-        if os.path.exists(os.path.join(args.list_dir,
-                                       mix_list_name(args.mix_k, "valid"))):
+        if any(os.path.exists(os.path.join(args.list_dir,
+                                           mix_list_name(k, "valid")))
+               for k in mix_ks):
             dev = Wsj0MixSampler(args.list_dir, root, cfg, "valid",
-                                 mix_ks=(args.mix_k,),
+                                 mix_ks=mix_ks,
                                  spk2idx=sampler.spk2idx)
             eval_batch = next(dev.batches(cfg.batch_size, shuffle=False))
         bank = None

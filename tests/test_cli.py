@@ -101,6 +101,22 @@ def test_train_from_lists_then_evaluate_cli(tmp_path, rng):
     assert np.isfinite(sisdr)
 
 
+def test_train_mixed_k_lists_cli(tmp_path, rng):
+    """Mixed 1-2 speaker list training (--mix-k 1,2): per-k pools, padded
+    channels, PIT loss over the static width."""
+    from tests.test_list_and_memory import _make_wsj0_layout
+    ldir, root = _make_wsj0_layout(tmp_path, rng)
+    ones = [f"wsj0/si_tr_s/{s % 4:02d}a/{s % 4:02d}ac02{s % 2:02d}.wav "
+            f"{0.3 - 0.1 * s:.3f}" for s in range(4)]
+    with open(os.path.join(ldir, "mix_1_spk_tr.txt"), "w") as f:
+        f.write("\n".join(ones) + "\n")
+    state = train_cli.main([
+        "--preset", "synth_tiny", "--set", "max_len_seconds=0.375",
+        "--batch-size", "2", "--epochs", "1", "--list-dir", ldir,
+        "--wav-root", root, "--mix-k", "1,2"])
+    assert int(np.asarray(state.step)) == 4 // 2 + 6 // 2
+
+
 def test_train_from_lists_classifier_cli(tmp_path, rng):
     """B16: the TDAA classifier trainer driven from the official lists."""
     from tests.test_list_and_memory import _make_wsj0_layout

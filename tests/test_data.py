@@ -109,6 +109,35 @@ def test_sample_mixtures_db_augment():
     assert (np.sort(g, axis=1)[:, :-1] == 1.0).all()
 
 
+def test_sample_mixtures_3mix_gain_trio():
+    """The 3-mix large/small/normal gains (predata_multiAims_3dB.py:132-145):
+    ch0 = 10^(dB/20*0.5) exactly, ch1 in [10^(dB/20*0.5), 10^(dB/20)],
+    ch2 in [1, 10^(dB/20*0.5)]."""
+    cfg = CFG.replace(min_mix=3, max_mix=3, top_k=3, augment_data=True,
+                      db_range=5.0)
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2,
+                                           cfg.max_len))
+    g = np.concatenate([
+        np.asarray(sample_mixtures(jax.random.PRNGKey(s), bank, cfg).gains)
+        for s in range(4)])
+    half = 10 ** (5 / 20.0 * 0.5)
+    full = 10 ** (5 / 20.0)
+    np.testing.assert_allclose(g[:, 0], half, rtol=1e-6)      # normal
+    assert (g[:, 1] >= half - 1e-6).all() and (g[:, 1] <= full + 1e-6).all()
+    assert (g[:, 2] >= 1.0 - 1e-6).all() and (g[:, 2] <= half + 1e-6).all()
+    assert g[:, 1].std() > 0 and g[:, 2].std() > 0            # random draws
+    # mixed live counts: k=2 items follow the 2-mix one-channel rule
+    cfg23 = cfg.replace(min_mix=2)
+    g = np.concatenate([
+        np.asarray(sample_mixtures(jax.random.PRNGKey(s), bank, cfg23).gains)
+        for s in range(4)])
+    two = g[(g > 0).sum(axis=1) == 2]
+    assert len(two)
+    assert (two[:, 2] == 0).all()
+    assert (np.sort(two[:, :2], axis=1)[:, 0] == 1.0).all()
+    assert (two[:, :2].max(axis=1) <= full + 1e-6).all()
+
+
 def test_sample_mixtures_variable_k():
     cfg = CFG.replace(min_mix=1, max_mix=3, top_k=3)
     bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len))

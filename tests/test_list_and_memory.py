@@ -68,6 +68,39 @@ def test_wsj0mix_sampler_epoch(tmp_path, rng):
     np.testing.assert_array_equal(np.concatenate(a1), np.concatenate(a2))
 
 
+def test_wsj0mix_sampler_mixed_k(tmp_path, rng):
+    """Mixed 1-2 speaker pools (predata_fromList_123.py:45-110): per-k
+    cursors, uniform-k batches padded to the static width, per-k
+    floor-division batch counts."""
+    cfg = CFG.replace(max_len_seconds=0.375)
+    ldir, root = _make_wsj0_layout(tmp_path, rng)
+    # add a 1-speaker list (5 entries) next to the 6-entry 2-spk list
+    ones = [f"wsj0/si_tr_s/{s % 4:02d}a/{s % 4:02d}ac02{s % 2:02d}.wav "
+            f"{0.3 - 0.1 * s:.3f}" for s in range(5)]
+    with open(os.path.join(ldir, "mix_1_spk_tr.txt"), "w") as f:
+        f.write("\n".join(ones) + "\n")
+    s = Wsj0MixSampler(ldir, root, cfg, "train", mix_ks=(1, 2))
+    assert s.k == 2                       # static width = max k
+    assert s.num_batches(2) == 5 // 2 + 6 // 2   # per-k floor division
+    batches = list(s.batches(2, shuffle=True, seed=3))
+    assert len(batches) == 5
+    k_counts = sorted(int((np.asarray(b.gains) > 0).sum(1).max())
+                      for b in batches)
+    # every batch is uniform-k; both pools appear
+    for b in batches:
+        lives = (np.asarray(b.gains) > 0).sum(1)
+        assert (lives == lives[0]).all()
+    assert k_counts[0] == 1 and k_counts[-1] == 2
+    # padded channels contribute nothing: mix == sum(sources)
+    for b in batches:
+        np.testing.assert_allclose(np.asarray(b.mix_wav),
+                                   np.asarray(b.source_wavs.sum(1)),
+                                   atol=1e-5)
+        dead = np.asarray(b.gains) == 0
+        if dead.any():
+            assert np.abs(np.asarray(b.source_wavs)[dead]).max() == 0.0
+
+
 def test_mix_from_list_gains():
     cfg = CFG.replace(max_len_seconds=0.25)
     bank = jnp.asarray(make_synthetic_bank(0, 4, 1, cfg.max_len)[:, 0, :])
