@@ -125,9 +125,14 @@ def apply_video_query(params, frames: jax.Array
         from dl4ss_tpu.models.inception import apply_inception_v3
         _, _, x = apply_inception_v3(params["inception"], x)
     else:
-        x = jax.nn.relu(conv2d(params["conv0"], x, stride=(4, 4)))
-        x = jax.nn.relu(conv2d(params["conv1"], x, stride=(3, 3)))
-        x = jax.nn.relu(conv2d(params["conv2"], x, stride=(2, 2)))
+        # SAME padding keeps small lip crops (16x16 up) from collapsing to
+        # zero spatial size before the global pool
+        x = jax.nn.relu(conv2d(params["conv0"], x, stride=(4, 4),
+                               padding="SAME"))
+        x = jax.nn.relu(conv2d(params["conv1"], x, stride=(3, 3),
+                               padding="SAME"))
+        x = jax.nn.relu(conv2d(params["conv2"], x, stride=(2, 2),
+                               padding="SAME"))
         x = jnp.mean(x, axis=(1, 2))                 # global average pool
     x = x.reshape(b, t, -1)
     h = bidirectional_rnn(params["rnn"], x, "lstm")

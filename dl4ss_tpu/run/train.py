@@ -17,13 +17,29 @@ def main(argv=None):
     p = add_common_args(argparse.ArgumentParser(description=__doc__))
     p.add_argument("--mode", default="joint",
                    choices=["joint", "dense", "adversarial", "classifier",
-                            "memory"],
+                            "memory", "video", "image-query"],
                    help="dense = exact-reference all-speaker channel layout "
-                        "(Torch_multi/main_run.py:473-506)")
+                        "(Torch_multi/main_run.py:473-506); video = GRID "
+                        "audio-visual query training (main_run.py:226-256); "
+                        "image-query = MNIST-digit-conditioned separation "
+                        "(Multi_modal)")
     p.add_argument("--query-source", default="speech",
                    choices=["speech", "image"],
                    help="memory mode: voiceprint (Cocktail) or MNIST digit "
                         "(Multi_modal) query")
+    p.add_argument("--video-root", default=None,
+                   help="video mode: GRID-style speaker tree of lip clips "
+                        "(root/<speaker>/<clip dir of frames or video file>); "
+                        "synthetic speaker-keyed frames if omitted")
+    p.add_argument("--frames", type=int, default=4,
+                   help="video mode: frames per clip (static T)")
+    p.add_argument("--frame-size", type=int, default=48,
+                   help="video mode: square frame edge in pixels")
+    p.add_argument("--video-trunk", default="conv",
+                   choices=["conv", "inception"],
+                   help="video mode: per-frame feature trunk; 'inception' "
+                        "reproduces the reference's frozen Inception-v3 "
+                        "(needs 299x299 frames)")
     p.add_argument("--patience", type=int, default=10,
                    help="memory mode: dev-loss early-stop patience "
                         "(nnet.py:159-172)")
@@ -72,8 +88,9 @@ def main(argv=None):
         import os
         from dl4ss_tpu.data.listsampler import Wsj0MixSampler
         from dl4ss_tpu.data.wsj0mix import mix_list_name
-        if args.mode == "memory":
-            raise SystemExit("--list-dir is not supported in memory mode")
+        if args.mode in ("memory", "video", "image-query"):
+            raise SystemExit(
+                f"--list-dir is not supported in {args.mode} mode")
         root = args.wav_root or "."
         mix_ks = tuple(int(x) for x in str(args.mix_k).split(","))
         sampler = Wsj0MixSampler(args.list_dir, root, cfg, args.split,
@@ -103,12 +120,72 @@ def main(argv=None):
     print(cfg.log_config())
     if args.mode == "memory":
         return _run_memory_mode(cfg, bank, args)
+    if args.mode in ("video", "image-query"):
+        return _run_query_mode(cfg, bank, args)
     state, sdr = train_loop(
         cfg, bank=bank, max_epochs=args.epochs, epoch_size=args.epoch_size,
         seed=args.seed, mode=args.mode, metrics_path=args.metrics,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         eval_every=args.eval_every, noise_bank=noise_bank,
         dis_sp=args.dis_sp, sampler=sampler, eval_batch=eval_batch)
+    if sdr:
+        print(f"final SI-SDR: {sdr[-1]:.2f} dB (best {max(sdr):.2f})")
+    return state
+
+
+def _run_query_mode(cfg, bank, args):
+    """Query-conditioned separation training: GRID audio-visual lip clips
+    (mode=video, Torch_multi/main_run.py:226-256) or MNIST digit queries
+    (mode=image-query, Multi_modal nnet.py:70-90), jointly with the
+    separator on mask MSE/PIT + the auxiliary speaker CE on the video
+    logits (main_run.py:451)."""
+    import jax
+    import jax.numpy as jnp
+    from dl4ss_tpu.data.synth import featurize, sample_mixtures
+    from dl4ss_tpu.train.query_trainer import query_train_loop
+
+    query_source = "video" if args.mode == "video" else "image"
+    hw = (args.frame_size, args.frame_size)
+    if args.video_trunk == "inception":
+        hw = (299, 299)
+    if query_source == "video":
+        if args.video_root:
+            from dl4ss_tpu.data.video import speaker_frame_bank
+            frames, idx2spk = speaker_frame_bank(args.video_root, args.frames,
+                                                 size=hw)
+            if frames.shape[0] != cfg.num_speakers:
+                raise SystemExit(
+                    f"--video-root has {frames.shape[0]} speakers but the "
+                    f"audio bank has {cfg.num_speakers}; the trees must "
+                    f"pair speaker-for-speaker (predata.py:161-184)")
+        else:
+            from dl4ss_tpu.data.video import synthetic_frame_bank
+            frames = synthetic_frame_bank(cfg.num_speakers, 2, args.frames,
+                                          hw, seed=args.seed)
+        qbank = jnp.asarray(frames)                 # (S, C, T, H, W, 3)
+        qkey = "query_video"
+    else:
+        from dl4ss_tpu.data.mnist import digit_query_bank, load_mnist
+        imgs, labels = load_mnist(None)
+        qbank = jnp.asarray(digit_query_bank(imgs, labels,
+                                             cfg.num_speakers))
+        qkey = "query_image"                        # (S, V, 28, 28, 1)
+
+    def make_batch(key):
+        k_mix, k_clip = jax.random.split(key)
+        b = sample_mixtures(k_mix, bank, cfg)
+        feats = featurize(b, cfg)
+        ci = jax.random.randint(k_clip, b.spk_idx.shape, 0, qbank.shape[1])
+        feats[qkey] = qbank[b.spk_idx, ci]          # (B, K, ...)
+        return feats
+
+    dev = make_batch(jax.random.PRNGKey(args.seed + 13))
+    state, sdr = query_train_loop(
+        cfg, make_batch, seed=args.seed, max_epochs=args.epochs,
+        epoch_size=args.epoch_size, query_source=query_source,
+        video_trunk=args.video_trunk, frame_hw=hw,
+        metrics_path=args.metrics, checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume, dev_batch=dev, eval_every=args.eval_every)
     if sdr:
         print(f"final SI-SDR: {sdr[-1]:.2f} dB (best {max(sdr):.2f})")
     return state

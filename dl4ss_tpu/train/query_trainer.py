@@ -108,3 +108,78 @@ def create_query_state(key, cfg: Config, query_source: str = "video",
     opt = make_optimizer(cfg, steps_per_epoch)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=opt.init(params), memory=None, rng=k_rng)
+
+
+def make_query_eval_step(cfg: Config, query_source: str = "video") -> Callable:
+    """Query-conditioned inference + resynthesis + SI-SDR: the separation is
+    driven by the modality query alone (no classifier / speaker-id path),
+    scored like make_eval_step (mix-phase iSTFT, live-channel PIT SI-SDR)."""
+    from dl4ss_tpu.eval.sisdr import si_sdr_pit
+    from dl4ss_tpu.ops.crm import unpack_ri
+    from dl4ss_tpu.ops.stft import istft
+
+    @jax.jit
+    def step(params, feats):
+        queries, _ = _queries_and_logits(params, feats, cfg, query_source)
+        out = separate(params, feats["mix_feas"], cfg, queries=queries)
+        mix = unpack_ri(feats["mix_ri"])
+        mag = jnp.abs(mix)
+        phasor = mix / jnp.maximum(mag, 1e-8).astype(mix.dtype)
+        wavs = istft(out.pred * phasor[:, None], cfg.frame_length,
+                     cfg.frame_shift, length=cfg.max_len)
+        scores, perm = si_sdr_pit(wavs, feats["source_wavs"],
+                                  live=feats.get("channel_live"))
+        return {"pred_wavs": wavs, "si_sdr": scores, "perm": perm}
+
+    return step
+
+
+def query_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
+                     max_epochs=None, epoch_size=None,
+                     query_source: str = "video", video_trunk: str = "conv",
+                     frame_hw=(48, 48), metrics_path=None,
+                     checkpoint_dir=None, resume: bool = False,
+                     dev_batch=None, eval_every: int = 1):
+    """Epoch driver for the audio-visual / image-query configurations
+    (Torch_multi/main_run.py:226-256 video phase; Multi_modal nnet.py).
+
+    make_batch(key) -> feats with mix_feas/src_feas/channel_live/spk_idx/
+    mix_ri/source_wavs plus query_video or query_image. Returns
+    (state, per-epoch dev SI-SDR list)."""
+    import os
+
+    from dl4ss_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from dl4ss_tpu.train.metrics import MetricsWriter
+
+    epochs = max_epochs if max_epochs is not None else cfg.max_epoch
+    esize = epoch_size if epoch_size is not None else cfg.epoch_size
+    state = create_query_state(jax.random.PRNGKey(seed), cfg, query_source,
+                               esize, video_trunk, frame_hw)
+    if resume and checkpoint_dir and os.path.isdir(checkpoint_dir):
+        state = restore_checkpoint(checkpoint_dir, state)
+    train_step = make_query_train_step(cfg, query_source, esize)
+    eval_step = make_query_eval_step(cfg, query_source)
+    writer = MetricsWriter(metrics_path)
+    sdr_history = []
+    start_epoch = int(state.step) // max(esize, 1)
+    metrics = {}
+    saved_step = -1
+    for epoch in range(start_epoch, epochs):
+        for _ in range(esize):
+            rng, sub = jax.random.split(state.rng)
+            feats = make_batch(sub)
+            state, metrics = train_step(state._replace(rng=rng), feats)
+        row = {k: v for k, v in metrics.items()}
+        if dev_batch is not None and eval_every \
+                and (epoch + 1) % eval_every == 0:
+            ev = eval_step(state.params, dev_batch)
+            sdr = float(jnp.mean(ev["si_sdr"]))
+            sdr_history.append(sdr)
+            row["si_sdr"] = sdr
+        writer.write("epoch", int(state.step), epoch=epoch, **row)
+        if checkpoint_dir and (epoch + 1) % cfg.checkpoint_every_epochs == 0:
+            saved_step = save_checkpoint(checkpoint_dir, state, cfg=cfg)
+    if checkpoint_dir and int(state.step) != saved_step:
+        save_checkpoint(checkpoint_dir, state, cfg=cfg)
+    writer.close()
+    return state, sdr_history

@@ -142,6 +142,49 @@ def test_train_memory_image_mode_cli():
     assert state.params.get("image_query") is not None
 
 
+def test_train_video_mode_cli(tmp_path):
+    """A6/A25 wiring: GRID-style audio-visual training from the CLI
+    (synthetic lip-frame bank), checkpoint + per-epoch SI-SDR."""
+    ck = str(tmp_path / "ck")
+    state = train_cli.main(["--preset", "synth_tiny", "--mode", "video",
+                            "--epochs", "1", "--epoch-size", "2",
+                            "--frames", "2", "--frame-size", "16",
+                            "--checkpoint-dir", ck,
+                            "--metrics", str(tmp_path / "m.jsonl")])
+    assert "video_query" in state.params
+    assert os.path.exists(os.path.join(ck, "cfg.json"))
+    assert os.path.exists(tmp_path / "m.jsonl")
+
+
+def test_train_image_query_mode_cli(tmp_path):
+    """Multi_modal image-conditioned separation from the CLI."""
+    state = train_cli.main(["--preset", "synth_tiny", "--mode", "image-query",
+                            "--epochs", "1", "--epoch-size", "2"])
+    assert "image_query" in state.params
+
+
+def test_train_video_mode_real_frame_tree_cli(tmp_path):
+    """--video-root consumes a GRID-style pre-extracted frame tree paired
+    speaker-for-speaker with the audio bank (predata.py:161-184)."""
+    import pytest
+    PIL = pytest.importorskip("PIL.Image")
+    root = tmp_path / "grid"
+    cfg = build_cfg(type("A", (), {"preset": "synth_tiny", "set": [],
+                                   "batch_size": None})())
+    for s in range(cfg.num_speakers):
+        for c in range(2):
+            d = root / f"s{s:02d}" / f"clip{c}"
+            os.makedirs(d)
+            for t in range(2):
+                arr = (np.full((16, 16, 3), 10 * s + c, np.uint8))
+                PIL.fromarray(arr).save(d / f"{t:03d}.png")
+    state = train_cli.main(["--preset", "synth_tiny", "--mode", "video",
+                            "--epochs", "1", "--epoch-size", "1",
+                            "--frames", "2", "--frame-size", "16",
+                            "--video-root", str(root)])
+    assert "video_query" in state.params
+
+
 def test_separate_long_file(tmp_path, rng):
     """Chunked long-file separation (beyond the reference's MAX_LEN crop):
     output covers the full input length with channel continuity."""

@@ -55,6 +55,56 @@ def test_image_query_training(rng):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_query_eval_step_scores(rng):
+    from dl4ss_tpu.train.query_trainer import make_query_eval_step
+    feats, batch = _base_feats(jax.random.PRNGKey(4))
+    b, k = batch.spk_idx.shape
+    from dl4ss_tpu.data.video import synthetic_frame_bank
+    qbank = jnp.asarray(synthetic_frame_bank(CFG.num_speakers, 2, 2,
+                                             (16, 16), seed=0))
+    feats = dict(feats, query_video=qbank[batch.spk_idx, 0])
+    state = create_query_state(jax.random.PRNGKey(5), CFG, "video",
+                               frame_hw=(16, 16))
+    ev = make_query_eval_step(CFG, "video")
+    out = ev(state.params, feats)
+    assert out["pred_wavs"].shape == feats["source_wavs"].shape
+    assert np.isfinite(np.asarray(out["si_sdr"])).all()
+
+
+def test_synthetic_frame_bank_speaker_identifiable():
+    from dl4ss_tpu.data.video import synthetic_frame_bank
+    bank = synthetic_frame_bank(4, 2, 3, (16, 16), seed=1)
+    assert bank.shape == (4, 2, 3, 16, 16, 3)
+    assert bank.min() >= 0.0 and bank.max() <= 1.0
+    # deterministic given the seed
+    np.testing.assert_array_equal(
+        bank, synthetic_frame_bank(4, 2, 3, (16, 16), seed=1))
+    # distinct speakers produce distinct patterns
+    assert np.abs(bank[0] - bank[1]).mean() > 0.05
+
+
+def test_speaker_frame_bank_tree(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    import os
+    from dl4ss_tpu.data.video import speaker_frame_bank
+    # speaker A: 2 clips, speaker B: 1 clip (cycled to the static count)
+    for spk, n_clips in (("alice", 2), ("bob", 1)):
+        for c in range(n_clips):
+            d = tmp_path / spk / f"clip{c}"
+            os.makedirs(d)
+            for t in range(3):
+                arr = np.full((8, 8, 3), 40 * c + 10 * t, np.uint8)
+                PIL.fromarray(arr).save(d / f"{t:03d}.png")
+    bank, idx2spk = speaker_frame_bank(str(tmp_path), total_frames=4,
+                                       size=(8, 8), clips_per_speaker=2)
+    assert bank.shape == (2, 2, 4, 8, 8, 3)
+    assert idx2spk == {0: "alice", 1: "bob"}
+    # bob's second clip cycles his only clip
+    np.testing.assert_array_equal(bank[1, 0], bank[1, 1])
+    # short clips repeat the last frame to the static T
+    np.testing.assert_array_equal(bank[0, 0, 2], bank[0, 0, 3])
+
+
 @pytest.mark.parametrize("name", sorted(preset_names()))
 def test_every_preset_config_is_consistent(name):
     """Every preset builds a separator and one tiny train step traces.
