@@ -82,3 +82,25 @@ def memory_read(state: MemorySlots, spk_idx: jax.Array,
                 slot: int = SLOT_SPEECH) -> jax.Array:
     """SelectSpkMemory gather (extend_layers.py:188-216): (B,) -> (B, D)."""
     return state.vectors[spk_idx, slot, :]
+
+
+def memory_reset_rows(state: MemorySlots, spk_idx: jax.Array) -> MemorySlots:
+    """Zero the given rows (all slots). Used between successive
+    unknown-speaker enrollments so the reserved unk row starts fresh for
+    each speaker (the reference evaluates unk speakers one at a time for
+    exactly this reason — batching 'confuses the memory',
+    Cocktail/.../predict.py:48-50)."""
+    return MemorySlots(vectors=state.vectors.at[spk_idx].set(0.0),
+                       age=state.age.at[spk_idx].set(0))
+
+
+def memory_extend(state: MemorySlots, extra_rows: int) -> MemorySlots:
+    """Append `extra_rows` zeroed rows — batched unk-speaker evaluation
+    enrolls each unknown speaker into their own fresh row, removing the
+    reference's batch-size-1 restriction."""
+    s, slots, d = state.vectors.shape
+    return MemorySlots(
+        vectors=jnp.concatenate(
+            [state.vectors, jnp.zeros((extra_rows, slots, d))], axis=0),
+        age=jnp.concatenate(
+            [state.age, jnp.zeros((extra_rows, slots), jnp.int32)], axis=0))

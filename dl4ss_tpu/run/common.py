@@ -28,8 +28,9 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     return p
 
 
-def build_cfg(args) -> Config:
-    cfg = preset(args.preset)
+def apply_overrides(cfg: Config, args) -> Config:
+    """Re-apply the CLI's --batch-size/--set overrides onto `cfg` (also used
+    on a checkpoint-recorded config so runtime knobs still win)."""
     if args.batch_size:
         cfg = cfg.replace(batch_size=args.batch_size)
     for kv in args.set:
@@ -45,6 +46,10 @@ def build_cfg(args) -> Config:
             parsed = value
         cfg = cfg.replace(**{key: parsed})
     return cfg
+
+
+def build_cfg(args) -> Config:
+    return apply_overrides(preset(args.preset), args)
 
 
 def load_bank(cfg: Config, args, utts_per_speaker: int = 8):

@@ -28,6 +28,24 @@ from dl4ss_tpu.train.steps import make_eval_step
 def main(argv=None):
     p = add_common_args(argparse.ArgumentParser(description=__doc__))
     p.add_argument("--batches", type=int, default=4)
+    p.add_argument("--mode", default="separate",
+                   choices=["separate", "memory"],
+                   help="memory = Cocktail/Multi_modal target extraction "
+                        "driven by the life-long speaker memory (C6), with "
+                        "optional unknown-speaker enrollment")
+    p.add_argument("--query-source", default="speech",
+                   choices=["speech", "image"],
+                   help="memory mode: which modality trained the memory")
+    p.add_argument("--enroll-seconds", type=float, default=1.0,
+                   help="memory mode: supp_time seconds of unknown-speaker "
+                        "audio enrolled before scoring (predict.py:160-180)")
+    p.add_argument("--unk-holdout", type=int, default=0,
+                   help="memory mode: treat the LAST N bank speakers as "
+                        "unknown — enroll each from a spare utterance, then "
+                        "score memory-only extraction (NSDR)")
+    p.add_argument("--unk-root", default=None,
+                   help="memory mode: speaker tree of UNKNOWN speakers "
+                        "(disjoint from training); overrides --unk-holdout")
     p.add_argument("--teacher-forced", action="store_true", default=False,
                    help="use ground-truth speakers (the reference's "
                         "Ground_truth eval); default: classifier top-k")
@@ -54,6 +72,9 @@ def main(argv=None):
     p.add_argument("--export-wavs", default=None,
                    help="directory for batch_output-style wav dumps")
     args = p.parse_args(argv)
+
+    if args.mode == "memory":
+        return _memory_eval(args)
 
     cfg = build_cfg(args)
     list_batches = None
@@ -137,6 +158,148 @@ def main(argv=None):
     if all_sdr:
         print(f"BSS-Eval SDR: {float(np.mean(np.concatenate(all_sdr))):.2f} dB")
     return sisdr
+
+
+def _memory_eval(args):
+    """Memory-driven target extraction scoring (the Cocktail evaluator, C6):
+
+      * known speakers: the trained memory row alone drives the mask
+        (clean/query input zeroed, predict.py:231-245);
+      * unknown speakers (--unk-holdout / --unk-root): enroll
+        `--enroll-seconds` of supplemental audio into a fresh row first
+        (predict.py:160-180), then score — each unk speaker gets their OWN
+        fresh row, lifting the reference's batch-size-1 restriction
+        (predict.py:48-50).
+
+    Reports SI-SDR of the extracted target and NSDR (improvement over the
+    raw mixture — the reference's headline Cocktail metric)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dl4ss_tpu.data.listsampler import mix_from_list
+    from dl4ss_tpu.data.synth import (featurize, normalize_utterance,
+                                      sample_mixtures)
+    from dl4ss_tpu.eval.sisdr import si_sdr
+    from dl4ss_tpu.models.memory import memory_extend, memory_reset_rows
+    from dl4ss_tpu.ops.crm import unpack_ri
+    from dl4ss_tpu.ops.stft import istft, spectral_feature
+    from dl4ss_tpu.train.checkpoint import load_cfg, restore_checkpoint
+    from dl4ss_tpu.train.memory_trainer import (create_memory_state, enroll,
+                                                make_memory_eval_step)
+
+    cfg = build_cfg(args)
+    if args.checkpoint_dir:
+        ck_cfg = load_cfg(args.checkpoint_dir)
+        if ck_cfg is not None:
+            # state shapes come from the training config; CLI runtime
+            # overrides (batch_size_eval etc.) still win on top
+            from dl4ss_tpu.run.common import apply_overrides
+            cfg = apply_overrides(ck_cfg, args)
+    state = create_memory_state(jax.random.PRNGKey(args.seed), cfg,
+                                args.query_source)
+    if args.checkpoint_dir:
+        state = restore_checkpoint(args.checkpoint_dir, state)
+        print(f"restored step {int(state.step)} from {args.checkpoint_dir}")
+    bank, bank_cfg, idx2spk = load_bank(cfg, args)
+    if bank_cfg.num_speakers != cfg.num_speakers:
+        raise SystemExit(
+            f"data root has {bank_cfg.num_speakers} speakers but the "
+            f"checkpoint was trained with {cfg.num_speakers}")
+    ev = make_memory_eval_step(cfg, args.query_source)
+
+    def _score(memory, batch, spk_id):
+        feats = featurize(batch, cfg)
+        out = ev(state.params, memory,
+                 {"mix_feas": feats["mix_feas"], "mix_mag": feats["mix_feas"],
+                  "spk_id": spk_id,
+                  "target_mag": feats["src_feas"][:, 0]})
+        mix = unpack_ri(feats["mix_ri"])
+        phasor = mix / jnp.maximum(jnp.abs(mix), 1e-8).astype(mix.dtype)
+        wav = istft(out["pred_mag"] * phasor, cfg.frame_length,
+                    cfg.frame_shift, length=cfg.max_len)
+        target = batch.source_wavs[:, 0]
+        pred_sdr = si_sdr(wav, target)
+        mix_sdr = si_sdr(batch.mix_wav, target)
+        return np.asarray(pred_sdr), np.asarray(pred_sdr - mix_sdr)
+
+    # ---- unknown-speaker bank --------------------------------------------
+    unk_bank = None
+    if args.unk_root:
+        from dl4ss_tpu.data.dirtree import DirTreeSampler
+        unk = DirTreeSampler(args.unk_root, cfg, args.split, 2)
+        unk_bank, trained_bank = jnp.asarray(unk.bank), bank
+    elif args.unk_holdout:
+        unk_bank = bank[-args.unk_holdout:]
+        trained_bank = bank[:-args.unk_holdout]
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    if unk_bank is None:
+        # known-speaker protocol: memory rows from training drive the mask
+        sdrs, gains = [], []
+        for _ in range(args.batches):
+            key, sub = jax.random.split(key)
+            batch = sample_mixtures(sub, bank, cfg, train=False)
+            s, g = _score(state.memory, batch, batch.spk_idx[:, 0])
+            sdrs.append(s)
+            gains.append(g)
+        sisdr = float(np.mean(np.concatenate(sdrs)))
+        ns = float(np.mean(np.concatenate(gains)))
+        print(f"memory-eval SI-SDR over {args.batches} batches: "
+              f"{sisdr:.2f} dB (NSDR {ns:+.2f} dB)")
+        return {"si_sdr": sisdr, "nsdr": ns}
+
+    if args.query_source != "speech":
+        raise SystemExit("unknown-speaker enrollment is the voiceprint "
+                         "(speech) protocol")
+    if not cfg.unk_spk:
+        raise SystemExit(
+            "unknown-speaker evaluation needs a model trained with "
+            "unk_spk=true — the config that reserves the unk memory row "
+            "(SpkLifeLongMemory's unk slot, extend_layers.py:133-136)")
+    from dl4ss_tpu.train.memory_trainer import unk_row
+    n_unk, n_utt = unk_bank.shape[:2]
+    n_trained = trained_bank.shape[0]
+    supp = min(int(args.enroll_seconds * cfg.frame_rate), cfg.max_len)
+    # the first unk speaker takes the RESERVED row (the reference's single
+    # unk slot); further unk speakers get fresh appended rows — batched
+    # multi-unk evaluation the reference cannot do (predict.py:48-50)
+    base_rows = state.memory.vectors.shape[0]
+    rows = [unk_row(cfg)] + list(range(base_rows, base_rows + n_unk - 1))
+    memory = memory_extend(state.memory, n_unk - 1)
+    for u in range(n_unk):
+        row = jnp.array([rows[u]])
+        memory = memory_reset_rows(memory, row)
+        ewav = normalize_utterance(unk_bank[u, min(1, n_utt - 1)])[:supp]
+        ewav = jnp.pad(ewav, (0, cfg.max_len - supp))
+        efeat, _ = spectral_feature(ewav[None], cfg.frame_length,
+                                    cfg.frame_shift,
+                                    log_spectral=cfg.log_spectral)
+        memory = enroll(state.params, memory, cfg, row, efeat,
+                        args.query_source)
+    b = cfg.batch_size_eval
+    sdrs, gains = [], []
+    for u in range(n_unk):
+        # b mixtures: unk target utterance + one random trained interferer
+        key, k1, k2 = jax.random.split(key, 3)
+        spk = jax.random.randint(k1, (b,), 0, n_trained)
+        utt = jax.random.randint(k2, (b,), 0, trained_bank.shape[1])
+        flat = jnp.concatenate([unk_bank[u, :1],
+                                trained_bank[spk, utt]], axis=0)
+        utt_idx = jnp.stack([jnp.zeros((b,), jnp.int32),
+                             1 + jnp.arange(b, dtype=jnp.int32)], axis=1)
+        spk_idx = jnp.stack([jnp.full((b,), rows[u], jnp.int32),
+                             spk.astype(jnp.int32)], axis=1)
+        batch = mix_from_list(flat, utt_idx,
+                              jnp.zeros((b, 2), jnp.float32), spk_idx, cfg)
+        s, g = _score(memory, batch, spk_idx[:, 0])
+        sdrs.append(s)
+        gains.append(g)
+    sisdr = float(np.mean(np.concatenate(sdrs)))
+    ns = float(np.mean(np.concatenate(gains)))
+    print(f"unk-speaker eval ({n_unk} speakers, "
+          f"{args.enroll_seconds:.2f}s enrollment): SI-SDR {sisdr:.2f} dB "
+          f"(NSDR {ns:+.2f} dB)")
+    return {"si_sdr": sisdr, "nsdr": ns, "n_unk": n_unk}
 
 
 if __name__ == "__main__":

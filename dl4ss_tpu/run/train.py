@@ -226,6 +226,10 @@ def _run_memory_mode(cfg, bank, args):
     if history:
         print(f"dev-loss: first {history[0]:.4f} best {min(history):.4f} "
               f"({len(history)} epochs)")
+    if args.checkpoint_dir:
+        from dl4ss_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint_dir, state, cfg=cfg)
+        print(f"saved memory-mode checkpoint to {args.checkpoint_dir}")
     return state
 
 

@@ -155,6 +155,23 @@ def enroll(params, memory: MemorySlots, cfg: Config, spk_id: jax.Array,
     return memory_write_slot(memory, spk_id, vp, _slot(query_source))
 
 
+def unk_row(cfg: Config) -> int:
+    """The reserved unknown-speaker memory row (only exists when
+    cfg.unk_spk — the reference reserves index 0 and starts known speakers
+    at 1, predict.py:141-142; here the extra row is appended at the end so
+    known-speaker indices stay 0-based)."""
+    if not cfg.unk_spk:
+        raise ValueError("cfg.unk_spk is False: no unk row is reserved")
+    return cfg.num_speakers
+
+
+def memory_rows(cfg: Config) -> int:
+    """Memory row count: the speaker inventory plus the reserved unk row
+    (SpkLifeLongMemory sizes its table with the unk slot when UNK_SPK,
+    extend_layers.py:133-136)."""
+    return cfg.num_speakers + (1 if cfg.unk_spk else 0)
+
+
 def create_memory_state(key, cfg: Config, query_source: str = "speech",
                         steps_per_epoch: int = 1) -> MemoryTrainState:
     k_model, k_rng = jax.random.split(key)
@@ -166,7 +183,7 @@ def create_memory_state(key, cfg: Config, query_source: str = "speech",
     return MemoryTrainState(
         step=jnp.zeros((), jnp.int32), params=params,
         opt_state=opt.init(params),
-        memory=init_memory(cfg.num_speakers, dim), rng=k_rng)
+        memory=init_memory(memory_rows(cfg), dim), rng=k_rng)
 
 
 def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,

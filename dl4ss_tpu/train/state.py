@@ -78,8 +78,10 @@ def create_train_state(key: jax.Array, cfg: Config,
     if cfg.use_discriminator:
         d_opt_state = make_optimizer(cfg, steps_per_epoch).init(
             params["discriminator"])
-    memory = (init_memory(cfg.num_speakers, cfg.query_dim)
-              if with_memory else None)
+    # + the reserved unk enrollment row when cfg.unk_spk (the
+    # SpkLifeLongMemory unk slot, extend_layers.py:133-136)
+    rows = cfg.num_speakers + (1 if cfg.unk_spk else 0)
+    memory = init_memory(rows, cfg.query_dim) if with_memory else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=opt_state, memory=memory, rng=k_rng,
                       d_opt_state=d_opt_state)

@@ -142,6 +142,43 @@ def test_train_memory_image_mode_cli():
     assert state.params.get("image_query") is not None
 
 
+def test_memory_checkpoint_then_unk_enrollment_eval(tmp_path):
+    """C6: train the memory extractor (unk_spk config), checkpoint, then
+    run the unknown-speaker enrollment protocol (predict.py:160-180) —
+    holdout speakers enrolled from a spare utterance, scored with NSDR."""
+    ck = str(tmp_path / "ck")
+    train_cli.main(["--preset", "synth_tiny", "--mode", "memory",
+                    "--set", "unk_spk=true", "--epochs", "1",
+                    "--epoch-size", "2", "--checkpoint-dir", ck])
+    assert os.path.exists(os.path.join(ck, "cfg.json"))
+    res = evaluate_cli.main(["--preset", "synth_tiny", "--mode", "memory",
+                             "--checkpoint-dir", ck, "--unk-holdout", "2",
+                             "--enroll-seconds", "0.25",
+                             "--set", "batch_size_eval=2"])
+    assert res["n_unk"] == 2
+    assert np.isfinite(res["si_sdr"]) and np.isfinite(res["nsdr"])
+
+
+def test_memory_eval_known_speakers_cli(tmp_path):
+    """C6 known-speaker protocol: trained memory rows drive the mask."""
+    ck = str(tmp_path / "ck")
+    train_cli.main(["--preset", "synth_tiny", "--mode", "memory",
+                    "--epochs", "1", "--epoch-size", "2",
+                    "--checkpoint-dir", ck])
+    res = evaluate_cli.main(["--preset", "synth_tiny", "--mode", "memory",
+                             "--checkpoint-dir", ck, "--batches", "1"])
+    assert np.isfinite(res["si_sdr"]) and np.isfinite(res["nsdr"])
+
+
+def test_unk_eval_requires_unk_spk_config(tmp_path):
+    """The unk protocol is gated on the unk_spk training config (the
+    reserved memory row, extend_layers.py:133-136)."""
+    import pytest
+    with pytest.raises(SystemExit, match="unk_spk"):
+        evaluate_cli.main(["--preset", "synth_tiny", "--mode", "memory",
+                           "--unk-holdout", "1"])
+
+
 def test_train_video_mode_cli(tmp_path):
     """A6/A25 wiring: GRID-style audio-visual training from the CLI
     (synthetic lip-frame bank), checkpoint + per-epoch SI-SDR."""

@@ -194,6 +194,38 @@ def test_enrollment_path():
     assert np.abs(np.asarray(mem2.vectors[cfg.num_speakers - 1, 0])).max() > 0
 
 
+def test_unk_spk_reserves_memory_row():
+    """cfg.unk_spk sizes the memory with the reserved unk row
+    (SpkLifeLongMemory's unk slot, extend_layers.py:133-136)."""
+    from dl4ss_tpu.train.memory_trainer import memory_rows, unk_row
+    cfg = CFG.replace(unk_spk=True)
+    state = create_memory_state(jax.random.PRNGKey(0), cfg)
+    assert state.memory.vectors.shape[0] == cfg.num_speakers + 1
+    assert memory_rows(cfg) == cfg.num_speakers + 1
+    assert unk_row(cfg) == cfg.num_speakers
+    # without unk_spk: exact inventory, and no reserved row to ask for
+    state2 = create_memory_state(jax.random.PRNGKey(0), CFG)
+    assert state2.memory.vectors.shape[0] == CFG.num_speakers
+    import pytest
+    with pytest.raises(ValueError):
+        unk_row(CFG)
+
+
+def test_memory_reset_and_extend():
+    from dl4ss_tpu.models.memory import (init_memory, memory_extend,
+                                         memory_reset_rows,
+                                         memory_write_slot)
+    mem = init_memory(3, 4)
+    mem = memory_write_slot(mem, jnp.array([1]), jnp.ones((1, 4)))
+    assert int(mem.age[1, 0]) == 1
+    mem = memory_reset_rows(mem, jnp.array([1]))
+    assert int(mem.age[1, 0]) == 0
+    assert float(jnp.abs(mem.vectors[1]).max()) == 0.0
+    big = memory_extend(mem, 2)
+    assert big.vectors.shape == (5, 3, 4)
+    assert int(big.age[3:].sum()) == 0
+
+
 def test_memory_train_loop_early_stopping():
     cfg = CFG.replace(max_epoch=50)
     bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len))
