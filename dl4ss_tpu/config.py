@@ -93,7 +93,11 @@ class Config:
     compute_dtype: str = "float32"   # float32 | bfloat16 (model matmuls)
     param_dtype: str = "float32"
     use_pallas_stft: bool = False    # fused Pallas frame+window+DFT kernel
-    use_pallas_rnn: bool = False     # fused Pallas GRU/LSTM scan kernels
+    use_pallas_rnn: bool = False     # fused Pallas GRU/LSTM scan kernels —
+    # 1.3-1.7x faster than lax.scan at reference shapes on TPU (128-padded
+    # fused gate matmuls, docs/BENCHMARKS.md); default off because CPU test
+    # runs use the slow interpreter. Perf presets (bench, tdaa, torch_multi*)
+    # turn it on; very wide layers auto-fall back to the scan (VMEM).
     remat: bool = False              # jax.checkpoint the encoder scan
 
     # ---- parallelism -----------------------------------------------------
@@ -156,22 +160,25 @@ def _register(cfg: Config) -> Config:
 
 
 # Torch_multi/main_run.py + config.py: canonical 2-speaker self-separation.
-TORCH_MULTI = _register(Config(name="torch_multi"))
+# (production presets run the fused Pallas RNN kernels — 1.3-1.7x over the
+# scan at reference shapes; debug/test presets keep the portable scan)
+TORCH_MULTI = _register(Config(name="torch_multi", use_pallas_rnn=True))
 
 # Torch_multi/main_run_multi_selfSS_dB.py + predata_multiAims_dB: SNR-augmented,
 # widened classifier.
 TORCH_MULTI_DB = _register(Config(
-    name="torch_multi_db", augment_data=True, classifier_hidden_mult=2))
+    name="torch_multi_db", augment_data=True, classifier_hidden_mult=2,
+    use_pallas_rnn=True))
 
 # 3-speaker variant (predata_multiAims_3dB.py).
 TORCH_MULTI_3DB = _register(Config(
     name="torch_multi_3db", max_mix=3, top_k=3, augment_data=True,
-    classifier_hidden_mult=2))
+    classifier_hidden_mult=2, use_pallas_rnn=True))
 
 # Street-noise variant (predata_multiAims_noisedB.py).
 TORCH_MULTI_NOISE = _register(Config(
     name="torch_multi_noise", add_bgd_noise=True, augment_data=True,
-    classifier_hidden_mult=2))
+    classifier_hidden_mult=2, use_pallas_rnn=True))
 
 # TDAA_beta/config_WSJ0_dB.py + main_run_sstune_* — 4-layer BiLSTM encoder,
 # self-tune ADDJUST, adversarial discriminator, wsj0-2mix lists.
@@ -179,7 +186,7 @@ TDAA = _register(Config(
     name="tdaa", mode="topdown", encoder_rnn="lstm", encoder_layers=4,
     classifier_hidden_mult=2, is_self_tune=True, use_discriminator=True,
     batch_size=16, max_epoch=600, epoch_size=10,
-    lr_schedule="halve_per_epoch", augment_data=True))
+    lr_schedule="halve_per_epoch", augment_data=True, use_pallas_rnn=True))
 
 # TDAA complex-ratio-mask path (main_run_sstune_cRM_EvalVer.py).
 TDAA_CRM = _register(TDAA.replace(
@@ -201,7 +208,8 @@ COCKTAIL_DEBUG = _register(Config(
 
 # Cocktail at production scale (the config.cfg-overridden path).
 COCKTAIL = _register(Config(
-    name="cocktail", dataset="WSJ0", encoder_rnn="lstm", unk_spk=True))
+    name="cocktail", dataset="WSJ0", encoder_rnn="lstm", unk_spk=True,
+    use_pallas_rnn=True))
 
 # Multi_modal image-query variant (MNIST digit ↔ speaker id).
 MULTIMODAL_IMAGE = _register(Config(
@@ -210,7 +218,8 @@ MULTIMODAL_IMAGE = _register(Config(
 
 # GRID audio-visual variant (Torch_multi/predata.py lip frames).
 GRID_VIDEO = _register(Config(
-    name="grid_video", mode="video", dataset="GRID", encoder_rnn="gru"))
+    name="grid_video", mode="video", dataset="GRID", encoder_rnn="gru",
+    use_pallas_rnn=True))
 
 # Fast test/bench preset — tiny synthetic data, real model shapes.
 SYNTH_TINY = _register(Config(
@@ -218,10 +227,11 @@ SYNTH_TINY = _register(Config(
     max_len_seconds=0.5, hidden_units=32, embedding_size=16,
     encoder_layers=1, classifier_layers=1, epoch_size=2, max_epoch=2))
 
-# Flagship bench preset — reference workload shape, bf16 compute.
+# Flagship bench preset — reference workload shape, bf16 compute, fused
+# Pallas RNN kernels (1.3-1.7x over lax.scan at this shape).
 BENCH = _register(Config(
     name="bench", dataset="synth", batch_size=16, compute_dtype="bfloat16",
-    use_pallas_stft=False))
+    use_pallas_stft=False, use_pallas_rnn=True))
 
 
 def preset(name: str) -> Config:

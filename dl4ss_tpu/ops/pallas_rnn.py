@@ -14,14 +14,21 @@ time loop inside one Pallas program per layer:
     on a leading direction axis, exactly like ops/rnn.py's shared scan);
     the direction axis is a static unrolled loop of plain 2-D matmuls —
     Mosaic does not support batched dot_general here,
-  * gates use separate per-gate weight tensors — (H, H) matmuls — because
-    Mosaic cannot cheaply slice a fused (3H|4H) gate matrix at non-128
-    lane boundaries for the reference's H=300.
+  * the hidden width is padded to a 128-lane multiple by the CALLER
+    (ops/rnn.py pads weights/projections with zeros), so all G gates fuse
+    into ONE (B, Hp) x (Hp, G*Hp) MXU matmul per direction per step and
+    every gate slice lands on a 128-aligned lane boundary (Mosaic's
+    requirement). Zero padding is self-consistent: padded lanes of h stay
+    exactly 0 through the recurrence in both cells,
+  * gate matmuls run at DEFAULT precision (single-pass bf16 inputs on the
+    MXU with f32 accumulation) — the same numerics as the lax.scan path's
+    `jnp.dot` and ~3-6x less MXU work than HIGHEST; these are model
+    matmuls, not DSP-critical ones (CLAUDE.md style rule).
 
 A custom VJP runs the backward pass as a second Pallas kernel scanning
-time in reverse (grid index i -> time T-1-i), accumulating the
-recurrent-weight gradients in the output refs across grid steps and
-emitting per-step input-projection gradients; the outer projection matmuls
+time in reverse (grid index i -> time T-1-i), accumulating the fused
+recurrent-weight gradient in an output ref across grid steps and emitting
+per-step fused input-projection gradients; the outer projection matmuls
 differentiate via normal XLA autodiff.
 
 Gate math matches torch (ops/rnn.py) bit-for-bit in structure:
@@ -39,28 +46,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_HP = jax.lax.Precision.HIGHEST
-
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
 def _mm(a, b):
-    return jnp.dot(a, b, precision=_HP, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
 def _mm_tn(a, b):
-    """a^T @ b for (B, H) x (B, H) -> (H, H)."""
+    """a^T @ b for (B, H) x (B, G) -> (H, G)."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               precision=_HP,
                                preferred_element_type=jnp.float32)
 
 
 def _mm_nt(a, b):
     """a @ b^T."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               precision=_HP,
                                preferred_element_type=jnp.float32)
 
 
@@ -69,68 +72,77 @@ def _mm_nt(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _gru_fwd_kernel(xr_ref, xz_ref, xn_ref, whr_ref, whz_ref, whn_ref,
-                    bhn_ref, hs_ref, h_scr, *, ndir: int):
+def _gru_fwd_kernel(xp_ref, wh_ref, bhn_ref, hs_ref, h_scr,
+                    *, ndir: int, hp: int):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
 
     for d in range(ndir):
-        h = h_scr[d]                                    # (B, H)
-        rr = jax.nn.sigmoid(xr_ref[0, d] + _mm(h, whr_ref[d]))
-        zz = jax.nn.sigmoid(xz_ref[0, d] + _mm(h, whz_ref[d]))
-        hn = _mm(h, whn_ref[d]) + bhn_ref[d]
-        nn = jnp.tanh(xn_ref[0, d] + rr * hn)
-        h = (1.0 - zz) * nn + zz * h
-        h_scr[d] = h
-        hs_ref[0, d] = h
+        h = h_scr[d]                                    # (B, Hp)
+        a = _mm(h, wh_ref[d])                           # (B, 3Hp) fused gates
+        xpd = xp_ref[0, d].astype(jnp.float32)
+        rr = jax.nn.sigmoid(xpd[:, :hp] + a[:, :hp])
+        zz = jax.nn.sigmoid(xpd[:, hp:2 * hp] + a[:, hp:2 * hp])
+        hn = a[:, 2 * hp:] + bhn_ref[d]
+        nn = jnp.tanh(xpd[:, 2 * hp:] + rr * hn)
+        h = (1.0 - zz) * nn + zz * h.astype(jnp.float32)
+        h_scr[d] = h.astype(h_scr.dtype)
+        hs_ref[0, d] = h.astype(hs_ref.dtype)
 
 
 @jax.custom_vjp
-def pallas_gru_scan(xp_r, xp_z, xp_n, wh_r, wh_z, wh_n, bh_n):
-    """xp_*: (T, D, B, H) input projections (+biases folded); wh_*: (D, H, H);
-    bh_n: (D, 1, H). Returns hs (T, D, B, H). h0 = 0 (the reference never
-    uses a nonzero initial state)."""
-    return _gru_fwd(xp_r, xp_z, xp_n, wh_r, wh_z, wh_n, bh_n)
+def pallas_gru_scan(xp, wh, bh_n):
+    """xp: (T, D, B, 3*Hp) fused input projections (+biases folded for r,z);
+    wh: (D, Hp, 3*Hp) fused recurrent weights; bh_n: (D, 1, Hp). Hp must be
+    a multiple of 128 (pad with zeros). Returns hs (T, D, B, Hp). h0 = 0
+    (the reference never uses a nonzero initial state)."""
+    return _gru_fwd(xp, wh, bh_n)
 
 
-def _gru_fwd(xp_r, xp_z, xp_n, wh_r, wh_z, wh_n, bh_n):
-    t, d, b, h = xp_r.shape
-    block = pl.BlockSpec((1, d, b, h), lambda i: (i, 0, 0, 0),
+def _gru_fwd(xp, wh, bh_n):
+    t, d, b, g3 = xp.shape
+    hp = g3 // 3
+    block = pl.BlockSpec((1, d, b, g3), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
+    hblock = pl.BlockSpec((1, d, b, hp), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_gru_fwd_kernel, ndir=d),
+        functools.partial(_gru_fwd_kernel, ndir=d, hp=hp),
         grid=(t,),
-        in_specs=[block, block, block, full, full, full, full],
-        out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((t, d, b, h), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((d, b, h), jnp.float32)],
+        in_specs=[block, full, full],
+        out_specs=hblock,
+        # the recurrent carry matches the input dtype (bf16 pipelines keep
+        # the MXU on native bf16 tiles; accumulation stays f32 via
+        # preferred_element_type — same numerics as the scan path's
+        # per-step h.astype(dtype))
+        out_shape=jax.ShapeDtypeStruct((t, d, b, hp), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((d, b, hp), xp.dtype)],
         interpret=_interpret(),
-    )(xp_r, xp_z, xp_n, wh_r, wh_z, wh_n, bh_n)
+    )(xp, wh, bh_n)
 
 
-def _gru_bwd_kernel(xr_ref, xz_ref, xn_ref, whr_ref, whz_ref, whn_ref,
-                    bhn_ref, hprev_ref, dhs_ref,
-                    dxr_ref, dxz_ref, dxn_ref, dwhr_ref, dwhz_ref, dwhn_ref,
-                    dbhn_ref, dh_scr, *, ndir: int):
+def _gru_bwd_kernel(xp_ref, wh_ref, bhn_ref, hprev_ref, dhs_ref,
+                    dxp_ref, dwh_ref, dbhn_ref, dh_scr,
+                    *, ndir: int, hp: int):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
-        dwhr_ref[:] = jnp.zeros_like(dwhr_ref)
-        dwhz_ref[:] = jnp.zeros_like(dwhz_ref)
-        dwhn_ref[:] = jnp.zeros_like(dwhn_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
         dbhn_ref[:] = jnp.zeros_like(dbhn_ref)
 
     for d in range(ndir):
-        hprev = hprev_ref[0, d]
-        # recompute the forward activations for this step
-        rr = jax.nn.sigmoid(xr_ref[0, d] + _mm(hprev, whr_ref[d]))
-        zz = jax.nn.sigmoid(xz_ref[0, d] + _mm(hprev, whz_ref[d]))
-        hn = _mm(hprev, whn_ref[d]) + bhn_ref[d]
-        nn = jnp.tanh(xn_ref[0, d] + rr * hn)
+        hprev = hprev_ref[0, d].astype(jnp.float32)
+        # recompute the forward activations for this step (one fused matmul)
+        a = _mm(hprev_ref[0, d], wh_ref[d])
+        xpd = xp_ref[0, d].astype(jnp.float32)
+        rr = jax.nn.sigmoid(xpd[:, :hp] + a[:, :hp])
+        zz = jax.nn.sigmoid(xpd[:, hp:2 * hp] + a[:, hp:2 * hp])
+        hn = a[:, 2 * hp:] + bhn_ref[d]
+        nn = jnp.tanh(xpd[:, 2 * hp:] + rr * hn)
 
-        dh = dh_scr[d] + dhs_ref[0, d]
+        dh = dh_scr[d] + dhs_ref[0, d].astype(jnp.float32)
         dn = dh * (1.0 - zz)
         dz = dh * (hprev - nn)
         dhprev = dh * zz
@@ -140,50 +152,49 @@ def _gru_bwd_kernel(xr_ref, xz_ref, xn_ref, whr_ref, whz_ref, whn_ref,
         da_z = dz * zz * (1.0 - zz)
         da_r = dr * rr * (1.0 - rr)
 
-        dxn_ref[0, d] = da_n
-        dxz_ref[0, d] = da_z
-        dxr_ref[0, d] = da_r
-        dhprev = dhprev + _mm_nt(da_r, whr_ref[d]) \
-                        + _mm_nt(da_z, whz_ref[d]) \
-                        + _mm_nt(dhn, whn_ref[d])
-        dwhr_ref[d] += _mm_tn(hprev, da_r)
-        dwhz_ref[d] += _mm_tn(hprev, da_z)
-        dwhn_ref[d] += _mm_tn(hprev, dhn)
+        # fused per-step grads: xp sees (da_r, da_z, da_n); the recurrent
+        # matmul sees (da_r, da_z, dhn) — n's pre-activation routes to xp
+        # directly but to h only through r * (h @ U_n + b_n)
+        dxp_ref[0, d] = jnp.concatenate(
+            [da_r, da_z, da_n], axis=-1).astype(dxp_ref.dtype)
+        da_w = jnp.concatenate([da_r, da_z, dhn],
+                               axis=-1).astype(dhs_ref.dtype)  # (B, 3Hp)
+        dhprev = dhprev + _mm_nt(da_w, wh_ref[d])
+        dwh_ref[d] += _mm_tn(hprev_ref[0, d], da_w)
         dbhn_ref[d] += jnp.sum(dhn, axis=0, keepdims=True)
         dh_scr[d] = dhprev
 
 
-def _gru_fwd_vjp(xp_r, xp_z, xp_n, wh_r, wh_z, wh_n, bh_n):
-    hs = _gru_fwd(xp_r, xp_z, xp_n, wh_r, wh_z, wh_n, bh_n)
-    return hs, (xp_r, xp_z, xp_n, wh_r, wh_z, wh_n, bh_n, hs)
+def _gru_fwd_vjp(xp, wh, bh_n):
+    hs = _gru_fwd(xp, wh, bh_n)
+    return hs, (xp, wh, bh_n, hs)
 
 
 def _gru_bwd_vjp(res, dhs):
-    xp_r, xp_z, xp_n, wh_r, wh_z, wh_n, bh_n, hs = res
-    t, d, b, h = xp_r.shape
-    hprev = jnp.concatenate([jnp.zeros((1, d, b, h), hs.dtype), hs[:-1]],
+    xp, wh, bh_n, hs = res
+    t, d, b, g3 = xp.shape
+    hp = g3 // 3
+    hprev = jnp.concatenate([jnp.zeros((1, d, b, hp), hs.dtype), hs[:-1]],
                             axis=0)
-    rev = pl.BlockSpec((1, d, b, h), lambda i: (t - 1 - i, 0, 0, 0),
+    rev = pl.BlockSpec((1, d, b, g3), lambda i: (t - 1 - i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
+    hrev = pl.BlockSpec((1, d, b, hp), lambda i: (t - 1 - i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        functools.partial(_gru_bwd_kernel, ndir=d),
+    dxp, dwh, dbhn = pl.pallas_call(
+        functools.partial(_gru_bwd_kernel, ndir=d, hp=hp),
         grid=(t,),
-        in_specs=[rev, rev, rev, full, full, full, full, rev, rev],
-        out_specs=[rev, rev, rev, full, full, full, full],
+        in_specs=[rev, full, full, hrev, hrev],
+        out_specs=[rev, full, full],
         out_shape=[
-            jax.ShapeDtypeStruct((t, d, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t, d, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t, d, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((d, h, h), jnp.float32),
-            jax.ShapeDtypeStruct((d, h, h), jnp.float32),
-            jax.ShapeDtypeStruct((d, h, h), jnp.float32),
-            jax.ShapeDtypeStruct((d, 1, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, d, b, g3), xp.dtype),
+            jax.ShapeDtypeStruct((d, hp, g3), jnp.float32),  # f32 accumulate
+            jax.ShapeDtypeStruct((d, 1, hp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((d, b, h), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((d, b, hp), jnp.float32)],
         interpret=_interpret(),
-    )(xp_r, xp_z, xp_n, wh_r, wh_z, wh_n, bh_n, hprev, dhs)
-    return tuple(outs)
+    )(xp, wh, bh_n, hprev, dhs)
+    return dxp, dwh.astype(wh.dtype), dbhn.astype(bh_n.dtype)
 
 
 pallas_gru_scan.defvjp(_gru_fwd_vjp, _gru_bwd_vjp)
@@ -194,77 +205,80 @@ pallas_gru_scan.defvjp(_gru_fwd_vjp, _gru_bwd_vjp)
 # ---------------------------------------------------------------------------
 
 
-def _lstm_fwd_kernel(xi_ref, xf_ref, xg_ref, xo_ref, whi_ref, whf_ref,
-                     whg_ref, who_ref, hs_ref, cs_ref, h_scr, c_scr,
-                     *, ndir: int):
+def _lstm_fwd_kernel(xp_ref, wh_ref, hs_ref, cs_ref, h_scr, c_scr,
+                     *, ndir: int, hp: int):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
     for d in range(ndir):
-        h, c = h_scr[d], c_scr[d]
-        ii = jax.nn.sigmoid(xi_ref[0, d] + _mm(h, whi_ref[d]))
-        ff = jax.nn.sigmoid(xf_ref[0, d] + _mm(h, whf_ref[d]))
-        gg = jnp.tanh(xg_ref[0, d] + _mm(h, whg_ref[d]))
-        oo = jax.nn.sigmoid(xo_ref[0, d] + _mm(h, who_ref[d]))
+        h, c = h_scr[d], c_scr[d].astype(jnp.float32)
+        a = (xp_ref[0, d].astype(jnp.float32)
+             + _mm(h, wh_ref[d]))                       # (B, 4Hp) fused
+        ii = jax.nn.sigmoid(a[:, :hp])
+        ff = jax.nn.sigmoid(a[:, hp:2 * hp])
+        gg = jnp.tanh(a[:, 2 * hp:3 * hp])
+        oo = jax.nn.sigmoid(a[:, 3 * hp:])
         c = ff * c + ii * gg
         h = oo * jnp.tanh(c)
-        h_scr[d], c_scr[d] = h, c
-        hs_ref[0, d] = h
-        cs_ref[0, d] = c
+        h_scr[d] = h.astype(h_scr.dtype)
+        c_scr[d] = c.astype(c_scr.dtype)
+        hs_ref[0, d] = h.astype(hs_ref.dtype)
+        cs_ref[0, d] = c.astype(cs_ref.dtype)
 
 
 @jax.custom_vjp
-def pallas_lstm_scan(xp_i, xp_f, xp_g, xp_o, wh_i, wh_f, wh_g, wh_o):
-    """xp_*: (T, D, B, H) with all biases folded; wh_*: (D, H, H).
-    Returns hs (T, D, B, H)."""
-    hs, _ = _lstm_fwd(xp_i, xp_f, xp_g, xp_o, wh_i, wh_f, wh_g, wh_o)
+def pallas_lstm_scan(xp, wh):
+    """xp: (T, D, B, 4*Hp) with all biases folded; wh: (D, Hp, 4*Hp);
+    Hp a multiple of 128 (zero-padded). Returns hs (T, D, B, Hp)."""
+    hs, _ = _lstm_fwd(xp, wh)
     return hs
 
 
-def _lstm_fwd(xp_i, xp_f, xp_g, xp_o, wh_i, wh_f, wh_g, wh_o):
-    t, d, b, h = xp_i.shape
-    block = pl.BlockSpec((1, d, b, h), lambda i: (i, 0, 0, 0),
+def _lstm_fwd(xp, wh):
+    t, d, b, g4 = xp.shape
+    hp = g4 // 4
+    block = pl.BlockSpec((1, d, b, g4), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
+    hblock = pl.BlockSpec((1, d, b, hp), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     hs, cs = pl.pallas_call(
-        functools.partial(_lstm_fwd_kernel, ndir=d),
+        functools.partial(_lstm_fwd_kernel, ndir=d, hp=hp),
         grid=(t,),
-        in_specs=[block] * 4 + [full] * 4,
-        out_specs=[block, block],
-        out_shape=[jax.ShapeDtypeStruct((t, d, b, h), jnp.float32),
-                   jax.ShapeDtypeStruct((t, d, b, h), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((d, b, h), jnp.float32),
-                        pltpu.VMEM((d, b, h), jnp.float32)],
+        in_specs=[block, full],
+        out_specs=[hblock, hblock],
+        out_shape=[jax.ShapeDtypeStruct((t, d, b, hp), xp.dtype),
+                   jax.ShapeDtypeStruct((t, d, b, hp), xp.dtype)],
+        scratch_shapes=[pltpu.VMEM((d, b, hp), xp.dtype),
+                        pltpu.VMEM((d, b, hp), jnp.float32)],
         interpret=_interpret(),
-    )(xp_i, xp_f, xp_g, xp_o, wh_i, wh_f, wh_g, wh_o)
+    )(xp, wh)
     return hs, cs
 
 
-def _lstm_bwd_kernel(xi_ref, xf_ref, xg_ref, xo_ref, whi_ref, whf_ref,
-                     whg_ref, who_ref, hprev_ref, cprev_ref, cs_ref, dhs_ref,
-                     dxi_ref, dxf_ref, dxg_ref, dxo_ref, dwhi_ref, dwhf_ref,
-                     dwhg_ref, dwho_ref, dh_scr, dc_scr, *, ndir: int):
+def _lstm_bwd_kernel(xp_ref, wh_ref, hprev_ref, cprev_ref, cs_ref, dhs_ref,
+                     dxp_ref, dwh_ref, dh_scr, dc_scr,
+                     *, ndir: int, hp: int):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dc_scr[:] = jnp.zeros_like(dc_scr)
-        dwhi_ref[:] = jnp.zeros_like(dwhi_ref)
-        dwhf_ref[:] = jnp.zeros_like(dwhf_ref)
-        dwhg_ref[:] = jnp.zeros_like(dwhg_ref)
-        dwho_ref[:] = jnp.zeros_like(dwho_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
 
     for d in range(ndir):
-        hprev, cprev = hprev_ref[0, d], cprev_ref[0, d]
-        c = cs_ref[0, d]
-        ii = jax.nn.sigmoid(xi_ref[0, d] + _mm(hprev, whi_ref[d]))
-        ff = jax.nn.sigmoid(xf_ref[0, d] + _mm(hprev, whf_ref[d]))
-        gg = jnp.tanh(xg_ref[0, d] + _mm(hprev, whg_ref[d]))
-        oo = jax.nn.sigmoid(xo_ref[0, d] + _mm(hprev, who_ref[d]))
+        cprev = cprev_ref[0, d].astype(jnp.float32)
+        c = cs_ref[0, d].astype(jnp.float32)
+        a = (xp_ref[0, d].astype(jnp.float32)
+             + _mm(hprev_ref[0, d], wh_ref[d]))
+        ii = jax.nn.sigmoid(a[:, :hp])
+        ff = jax.nn.sigmoid(a[:, hp:2 * hp])
+        gg = jnp.tanh(a[:, 2 * hp:3 * hp])
+        oo = jax.nn.sigmoid(a[:, 3 * hp:])
         tc = jnp.tanh(c)
 
-        dh = dh_scr[d] + dhs_ref[0, d]
+        dh = dh_scr[d] + dhs_ref[0, d].astype(jnp.float32)
         do = dh * tc
         dc = dc_scr[d] + dh * oo * (1.0 - tc * tc)
         di = dc * gg
@@ -272,52 +286,46 @@ def _lstm_bwd_kernel(xi_ref, xf_ref, xg_ref, xo_ref, whi_ref, whf_ref,
         df = dc * cprev
         dc_next = dc * ff
 
-        da_i = di * ii * (1.0 - ii)
-        da_f = df * ff * (1.0 - ff)
-        da_g = dg * (1.0 - gg * gg)
-        da_o = do * oo * (1.0 - oo)
-
-        dxi_ref[0, d] = da_i
-        dxf_ref[0, d] = da_f
-        dxg_ref[0, d] = da_g
-        dxo_ref[0, d] = da_o
-
-        dhprev = (_mm_nt(da_i, whi_ref[d]) + _mm_nt(da_f, whf_ref[d]) +
-                  _mm_nt(da_g, whg_ref[d]) + _mm_nt(da_o, who_ref[d]))
-        dwhi_ref[d] += _mm_tn(hprev, da_i)
-        dwhf_ref[d] += _mm_tn(hprev, da_f)
-        dwhg_ref[d] += _mm_tn(hprev, da_g)
-        dwho_ref[d] += _mm_tn(hprev, da_o)
-        dh_scr[d] = dhprev
+        da = jnp.concatenate([di * ii * (1.0 - ii),
+                              df * ff * (1.0 - ff),
+                              dg * (1.0 - gg * gg),
+                              do * oo * (1.0 - oo)],
+                             axis=-1).astype(dhs_ref.dtype)   # (B, 4Hp)
+        dxp_ref[0, d] = da.astype(dxp_ref.dtype)
+        dh_scr[d] = _mm_nt(da, wh_ref[d])
+        dwh_ref[d] += _mm_tn(hprev_ref[0, d], da)
         dc_scr[d] = dc_next
 
 
-def _lstm_fwd_vjp(xp_i, xp_f, xp_g, xp_o, wh_i, wh_f, wh_g, wh_o):
-    hs, cs = _lstm_fwd(xp_i, xp_f, xp_g, xp_o, wh_i, wh_f, wh_g, wh_o)
-    return hs, (xp_i, xp_f, xp_g, xp_o, wh_i, wh_f, wh_g, wh_o, hs, cs)
+def _lstm_fwd_vjp(xp, wh):
+    hs, cs = _lstm_fwd(xp, wh)
+    return hs, (xp, wh, hs, cs)
 
 
 def _lstm_bwd_vjp(res, dhs):
-    xp_i, xp_f, xp_g, xp_o, wh_i, wh_f, wh_g, wh_o, hs, cs = res
-    t, d, b, h = xp_i.shape
-    zeros = jnp.zeros((1, d, b, h), hs.dtype)
+    xp, wh, hs, cs = res
+    t, d, b, g4 = xp.shape
+    hp = g4 // 4
+    zeros = jnp.zeros((1, d, b, hp), hs.dtype)
     hprev = jnp.concatenate([zeros, hs[:-1]], axis=0)
     cprev = jnp.concatenate([zeros, cs[:-1]], axis=0)
-    rev = pl.BlockSpec((1, d, b, h), lambda i: (t - 1 - i, 0, 0, 0),
+    rev = pl.BlockSpec((1, d, b, g4), lambda i: (t - 1 - i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
+    hrev = pl.BlockSpec((1, d, b, hp), lambda i: (t - 1 - i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        functools.partial(_lstm_bwd_kernel, ndir=d),
+    dxp, dwh = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, ndir=d, hp=hp),
         grid=(t,),
-        in_specs=[rev] * 4 + [full] * 4 + [rev, rev, rev, rev],
-        out_specs=[rev] * 4 + [full] * 4,
-        out_shape=[jax.ShapeDtypeStruct((t, d, b, h), jnp.float32)] * 4 +
-                  [jax.ShapeDtypeStruct((d, h, h), jnp.float32)] * 4,
-        scratch_shapes=[pltpu.VMEM((d, b, h), jnp.float32),
-                        pltpu.VMEM((d, b, h), jnp.float32)],
+        in_specs=[rev, full, hrev, hrev, hrev, hrev],
+        out_specs=[rev, full],
+        out_shape=[jax.ShapeDtypeStruct((t, d, b, g4), xp.dtype),
+                   jax.ShapeDtypeStruct((d, hp, g4), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((d, b, hp), jnp.float32),
+                        pltpu.VMEM((d, b, hp), jnp.float32)],
         interpret=_interpret(),
-    )(xp_i, xp_f, xp_g, xp_o, wh_i, wh_f, wh_g, wh_o, hprev, cprev, cs, dhs)
-    return tuple(outs)
+    )(xp, wh, hprev, cprev, cs, dhs)
+    return dxp, dwh.astype(wh.dtype)
 
 
 pallas_lstm_scan.defvjp(_lstm_fwd_vjp, _lstm_bwd_vjp)

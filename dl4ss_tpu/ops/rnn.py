@@ -132,46 +132,79 @@ def _run_layer_bidir_pallas(fwd: Params, bwd: Params, x: jax.Array,
                             cell: str) -> jax.Array:
     """Bidirectional layer on the fused Pallas scan kernels
     (ops/pallas_rnn.py): input projections as one XLA matmul, the whole
-    sequential loop in one kernel with VMEM-resident recurrent weights."""
+    sequential loop in one kernel with VMEM-resident recurrent weights.
+
+    The hidden width is zero-padded to a 128-lane multiple HERE so the
+    kernel can run all G gates as ONE fused (B, Hp) x (Hp, G*Hp) matmul
+    per direction per step with 128-aligned gate slices (Mosaic's
+    constraint for the reference's H=300). Padded h lanes stay exactly 0
+    through both recurrences, so the unpadded slice is bit-identical."""
     from dl4ss_tpu.ops import pallas_rnn
 
-    xr = jnp.flip(x, axis=1)
     b, t, _ = x.shape
     hidden = fwd["wh"].shape[0]
+    gates = fwd["wh"].shape[1] // hidden
+    hp = -(-hidden // 128) * 128
+    pad = hp - hidden
     f32 = jnp.float32
+    # bf16 pipelines keep the kernel's MXU tiles on native bf16 (the scan
+    # path's numerics: inputs in compute dtype, f32 accumulation)
+    kdtype = x.dtype if x.dtype == jnp.bfloat16 else f32
 
-    def proj(p, xx):
-        return (jnp.dot(xx.astype(f32), p["wx"],
-                        preferred_element_type=jnp.float32) + p["bx"])
+    # fused recurrent weights + the backward's gradient accumulator must
+    # both sit in VMEM (~16 MB/core) beside the streamed blocks; very wide
+    # layers fall back to the shared-scan path instead of failing to compile
+    if 2 * 2 * hp * gates * hp * 4 > 12 * 1024 * 1024:
+        return _run_layer_bidir(fwd, bwd, x, cell)
 
-    xp = jnp.stack([proj(fwd, x), proj(bwd, xr)], axis=2)   # (B, T, D, G)
-    xp = jnp.transpose(xp, (1, 2, 0, 3))                    # (T, D, B, G)
-    bh = jnp.stack([fwd["bh"], bwd["bh"]]).astype(f32)      # (D, G)
+    def pad_cols(w):
+        """(..., G*H) -> (..., G*Hp): zero-pad each gate to the lane tile."""
+        if pad == 0:
+            return w.astype(f32)
+        widths = [(0, 0)] * (w.ndim - 1) + [(0, pad)]
+        return jnp.concatenate([jnp.pad(p.astype(f32), widths)
+                                for p in jnp.split(w, gates, axis=-1)],
+                               axis=-1)
 
-    def whg(i):
-        return jnp.stack([fwd["wh"][:, i * hidden:(i + 1) * hidden],
-                          bwd["wh"][:, i * hidden:(i + 1) * hidden]]
-                         ).astype(f32)                      # (D, H, H)
+    def prep(p):
+        wx = pad_cols(p["wx"])                                 # (Din, G*Hp)
+        wh = jnp.pad(pad_cols(p["wh"]), ((0, pad), (0, 0)))    # (Hp, G*Hp)
+        return wx, wh, pad_cols(p["bx"]), pad_cols(p["bh"])
 
-    def xpg(i, add_bh=True):
-        seg = xp[..., i * hidden:(i + 1) * hidden]
-        if add_bh:
-            seg = seg + bh[None, :, None, i * hidden:(i + 1) * hidden]
-        return seg
+    wx_f, wh_f, bx_f, bh_f = prep(fwd)
+    wx_b, wh_b, bx_b, bh_b = prep(bwd)
+    xr = jnp.flip(x, axis=1)
 
     if cell == "gru":
-        hs = pallas_rnn.pallas_gru_scan(
-            xpg(0), xpg(1), xpg(2, add_bh=False),
-            whg(0), whg(1), whg(2), bh[:, None, 2 * hidden:])
+        # fold bh into the r,z segments; the candidate's bh_n must stay
+        # inside r * (h @ U_n + bh_n) (torch GRU layout)
+        n_mask = jnp.concatenate([jnp.ones((2 * hp,), f32),
+                                  jnp.zeros((hp,), f32)])
+        bias_f, bias_b = bx_f + bh_f * n_mask, bx_b + bh_b * n_mask
+        bh_n = jnp.stack([bh_f[None, 2 * hp:], bh_b[None, 2 * hp:]])
     elif cell == "lstm":
-        hs = pallas_rnn.pallas_lstm_scan(
-            xpg(0), xpg(1), xpg(2), xpg(3),
-            whg(0), whg(1), whg(2), whg(3))
+        bias_f, bias_b = bx_f + bh_f, bx_b + bh_b
     else:
         raise ValueError(f"unknown cell {cell!r}")
-    # (T, D, B, H) -> (B, T, 2H) with the reverse direction unflipped
-    fwd_out = jnp.transpose(hs[:, 0], (1, 0, 2))
-    bwd_out = jnp.flip(jnp.transpose(hs[:, 1], (1, 0, 2)), axis=1)
+
+    def proj(xx, wx, bias):
+        return (jnp.dot(xx, wx.astype(xx.dtype),
+                        preferred_element_type=jnp.float32)
+                + bias).astype(kdtype)
+
+    xp = jnp.stack([proj(x, wx_f, bias_f), proj(xr, wx_b, bias_b)],
+                   axis=2)                                  # (B, T, D, G*Hp)
+    xp = jnp.transpose(xp, (1, 2, 0, 3))                    # (T, D, B, G*Hp)
+    wh = jnp.stack([wh_f, wh_b]).astype(kdtype)             # (D, Hp, G*Hp)
+
+    if cell == "gru":
+        hs = pallas_rnn.pallas_gru_scan(xp, wh, bh_n)
+    else:
+        hs = pallas_rnn.pallas_lstm_scan(xp, wh)
+    # (T, D, B, Hp) -> (B, T, 2H) with the reverse direction unflipped
+    fwd_out = jnp.transpose(hs[:, 0, :, :hidden], (1, 0, 2))
+    bwd_out = jnp.flip(jnp.transpose(hs[:, 1, :, :hidden], (1, 0, 2)),
+                       axis=1)
     return jnp.concatenate([fwd_out, bwd_out], axis=-1).astype(x.dtype)
 
 
