@@ -3,6 +3,11 @@
 import os
 
 import numpy as np
+import pytest
+
+# whole-module: every test here drives a full CLI entry point (train loops,
+# checkpoints, evaluators) — minutes of wall time on the CPU mesh
+pytestmark = pytest.mark.slow
 
 from dl4ss_tpu.data.wavio import write_wav
 from dl4ss_tpu.run import classify as classify_cli

@@ -20,6 +20,7 @@ def _base_feats(key):
     return featurize(batch, CFG), batch
 
 
+@pytest.mark.slow
 def test_video_query_training_learns(rng):
     feats, batch = _base_feats(jax.random.PRNGKey(0))
     # deterministic per-speaker "lip video": speaker-id-keyed patterns
@@ -41,6 +42,7 @@ def test_video_query_training_learns(rng):
     assert "query_ce" in m
 
 
+@pytest.mark.slow
 def test_image_query_training(rng):
     feats, batch = _base_feats(jax.random.PRNGKey(2))
     imgs, labels = synthetic_digits(4, seed=0)
