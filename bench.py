@@ -18,7 +18,8 @@ import time
 import numpy as np
 
 B = 16            # CPU-reference batch (as the reference runs, B=16)
-TPU_B = 128       # TPU throughput batch
+TPU_B = 192       # TPU throughput batch (sweep: plateau at B=176-208,
+                  # ~11.2k mix/s; VMEM cliff above 208 — docs/BENCHMARKS.md)
 N_SAMPLES = 40000
 RATE_ITERS = 30
 
