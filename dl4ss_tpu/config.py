@@ -90,7 +90,10 @@ class Config:
     optimizer: str = "adam"
 
     # ---- numerics / TPU --------------------------------------------------
-    compute_dtype: str = "float32"   # float32 | bfloat16 (model matmuls)
+    compute_dtype: str = "float32"   # float32 | bfloat16 — mixed-precision
+    # training: model matmuls/activations in bf16 (native MXU tiles), master
+    # params + optimizer + loss math in f32 (train/steps._compute_cast);
+    # the cRM complex path and DSP matmuls always stay f32
     param_dtype: str = "float32"
     use_pallas_stft: bool = False    # fused Pallas frame+window+DFT kernel
     use_pallas_rnn: bool = False     # fused Pallas GRU/LSTM scan kernels —

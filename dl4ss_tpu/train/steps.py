@@ -37,6 +37,22 @@ def _gen_params(params):
     return {k: v for k, v in params.items() if k != "discriminator"}
 
 
+def _compute_cast(params, feats, cfg: Config):
+    """Mixed-precision training compute (cfg.compute_dtype='bfloat16'):
+    model matmuls/activations run in bf16 on native MXU tiles while the
+    differentiated master params, the optimizer state, and the loss math
+    stay f32 (gradients flow back through the casts as f32). The cRM path
+    is excluded — complex-mask phase math is precision-critical — and the
+    DSP matmuls (ops/stft.py) always run f32 HIGHEST regardless."""
+    if cfg.compute_dtype != "bfloat16" or cfg.is_complex_mask:
+        return params, feats
+    bf = jnp.bfloat16
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(bf) if x.dtype == jnp.float32 else x, params)
+    feats = dict(feats, mix_feas=feats["mix_feas"].astype(bf))
+    return params, feats
+
+
 def _separation_loss(params, feats, cfg: Config):
     """Mask loss of the top-k path (identity or PIT assignment).
 
@@ -48,8 +64,9 @@ def _separation_loss(params, feats, cfg: Config):
     """
     live = feats["channel_live"].astype(jnp.float32)
     spk_idx = feats["spk_idx"] if cfg.ground_truth else None
-    out = separate(params, feats["mix_feas"], cfg, spk_idx=spk_idx,
-                   mix_ri=feats.get("mix_ri"))
+    params, cfeats = _compute_cast(params, feats, cfg)
+    out = separate(params, cfeats["mix_feas"], cfg, spk_idx=spk_idx,
+                   mix_ri=cfeats.get("mix_ri"))
     if cfg.is_complex_mask:
         target = feats["src_ri"]
         pred = out.pred * live[..., None, None, None]
@@ -164,8 +181,9 @@ def make_dense_train_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
 
         def loss_fn(gp):
             params = dict(state.params, **gp)
-            out = separate_dense(params, feats["mix_feas"], cfg, gate,
-                                 mix_ri=feats.get("mix_ri"))
+            params, cfeats = _compute_cast(params, feats, cfg)
+            out = separate_dense(params, cfeats["mix_feas"], cfg, gate,
+                                 mix_ri=cfeats.get("mix_ri"))
             if cfg.is_complex_mask:
                 mask_l = complex_mse_loss(out.pred, target)
             else:
@@ -207,8 +225,10 @@ def make_classifier_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
 
         def loss_fn(gp):
             params = dict(state.params, **gp)
+            params, cfeats = _compute_cast(params, feats, cfg)
             logits = apply_classifier(params["classifier"],
-                                      feats["mix_feas"], cfg, logits=True)
+                                      cfeats["mix_feas"], cfg, logits=True)
+            logits = logits.astype(jnp.float32)   # f32 loss math
             return multilabel_softmargin_loss(logits, target), logits
 
         gp = _gen_params(state.params)

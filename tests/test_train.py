@@ -241,3 +241,45 @@ def test_non_teacher_forced_training():
     assert np.isfinite(float(m["loss"]))
     with pytest.raises(ValueError):
         make_train_step(cfg.replace(loss_mode="identity"))
+
+
+def test_bf16_mixed_precision_step_matches_f32_learning():
+    """compute_dtype='bfloat16': bf16 matmuls, f32 master params/loss.
+
+    The bf16 step must keep f32 params/opt-state and track the f32 loss
+    trajectory closely on the same data."""
+    cfg16 = CFG.replace(compute_dtype="bfloat16")
+    feats = _feats()
+
+    def run(cfg):
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        step = make_train_step(cfg)
+        losses = []
+        for _ in range(20):
+            state, m = step(state, feats)
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    state16, l16 = run(cfg16)
+    _, l32 = run(CFG)
+    # master params stay f32
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(state16.params))
+    # learns: same qualitative trajectory as f32
+    assert l16[-1] < 0.6 * l16[0]
+    assert abs(l16[-1] - l32[-1]) < 0.3 * l32[0]
+
+
+def test_bf16_classifier_step_runs():
+    cfg16 = CFG.replace(compute_dtype="bfloat16")
+    state = create_train_state(jax.random.PRNGKey(0), cfg16)
+    step = make_classifier_step(cfg16)
+    feats = _feats(cfg16)
+    first = None
+    for _ in range(10):
+        state, m = step(state, feats)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(state.params))
