@@ -31,11 +31,9 @@ def tpu_pipeline_rate(batch: int, bf16: bool):
     from dl4ss_tpu.models import init_separator, separate
     from dl4ss_tpu.ops import istft, magnitude_and_phase, stft
 
-    # fused Pallas GRU kernels: 128-padded fused-gate matmuls, native-bf16
-    # MXU tiles — measured 1.26x end-to-end over the lax.scan path at this
-    # shape (docs/BENCHMARKS.md)
-    cfg = preset("torch_multi").replace(batch_size=batch,
-                                        use_pallas_rnn=True)
+    # the torch_multi preset ships use_pallas_rnn=True: 128-padded
+    # fused-gate matmuls on native-bf16 MXU tiles (docs/BENCHMARKS.md)
+    cfg = preset("torch_multi").replace(batch_size=batch)
     params = init_separator(jax.random.PRNGKey(0), cfg)
     if bf16:
         params = jax.tree_util.tree_map(

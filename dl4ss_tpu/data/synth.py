@@ -109,15 +109,15 @@ def sample_mixtures(key: jax.Array, bank: jax.Array, cfg: Config,
     gains = jnp.ones((b, k))
     if cfg.db_range > 0 and train and cfg.augment_data:
         scale = cfg.db_range / 20.0
-        u = jax.random.uniform(k_db, (b, 3))
-        ratio2 = 10.0 ** (scale * u[:, 0])
+        r_db = jax.random.uniform(k_db, (b, 3))
+        ratio2 = 10.0 ** (scale * r_db[:, 0])
         chan = jax.random.randint(k_ch, (b,), 0, min(k, 2))
         gains2 = gains.at[jnp.arange(b), chan].set(ratio2)
         if k >= 3:
             trio = jnp.stack([
                 jnp.full((b,), 10.0 ** (scale * 0.5)),          # normal
-                10.0 ** (scale * (0.5 + 0.5 * u[:, 1])),        # large
-                10.0 ** (scale * (0.5 * u[:, 2])),              # small
+                10.0 ** (scale * (0.5 + 0.5 * r_db[:, 1])),     # large
+                10.0 ** (scale * (0.5 * r_db[:, 2])),           # small
             ], axis=1)
             gains3 = gains.at[:, :3].set(trio)
             gains = jnp.where((live == 3)[:, None], gains3, gains)
@@ -178,6 +178,21 @@ def featurize(batch: MixtureBatch, cfg: Config):
         out["src_ri"] = src_ri                      # (B, K, T, F, 2)
     out["src_feas"] = src_feat                      # (B, K, T, F)
     return out
+
+
+def linear_target_mags(feats, batch: MixtureBatch, cfg: Config):
+    """(mix_mag, target_mag) for the memory trainer: the mask's multiplicand
+    and the loss target are LINEAR spectra even when the network input
+    features are log-domain — output = mask (.) mix_spectrum
+    (Cocktail nnet.py:95, predict.py:241-245). Target = first speaker
+    (the Cocktail first-speaker-is-target convention)."""
+    if not cfg.log_spectral:
+        return feats["mix_feas"], feats["src_feas"][:, 0]
+    from dl4ss_tpu.ops.crm import unpack_ri
+    mix_mag = jnp.abs(unpack_ri(feats["mix_ri"]))
+    target_mag = jnp.abs(stft(batch.source_wavs[:, 0], cfg.frame_length,
+                              cfg.frame_shift))
+    return mix_mag, target_mag
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

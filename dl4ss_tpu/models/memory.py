@@ -33,6 +33,15 @@ class MemorySlots(NamedTuple):
     age: jax.Array      # (S, 3) int32
 
 
+def memory_rows(cfg) -> int:
+    """Memory row count for a Config: the speaker inventory plus the
+    reserved unk row (SpkLifeLongMemory sizes its table with the unk slot
+    when UNK_SPK, extend_layers.py:133-136). Single source of truth —
+    create_train_state and create_memory_state must size identically or
+    checkpoints stop round-tripping between them."""
+    return cfg.num_speakers + (1 if cfg.unk_spk else 0)
+
+
 def init_memory(num_speakers: int, dim: int) -> MemorySlots:
     return MemorySlots(
         vectors=jnp.zeros((num_speakers, 3, dim), jnp.float32),

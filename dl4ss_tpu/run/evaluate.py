@@ -81,15 +81,32 @@ def main(argv=None):
     if args.list_dir:
         # the reference's eval protocol: mean SDR over the official cv/tt
         # lists (TDAA_beta/main_run_sstune_TestVer.py:30-31,513)
+        import json
+        import os
         from dl4ss_tpu.data.listsampler import Wsj0MixSampler
         mix_ks = tuple(int(x) for x in str(args.mix_k).split(","))
+        # speaker -> embedding-row mapping must come from the TRAINING
+        # vocabulary (run.train records it beside the checkpoints);
+        # rebuilding it from the eval split's lists would re-number
+        # speakers whenever the splits cover different sets
+        spk2idx = None
+        if args.checkpoint_dir:
+            vp = os.path.join(args.checkpoint_dir, "vocab.json")
+            if os.path.exists(vp):
+                with open(vp) as fh:
+                    spk2idx = json.load(fh)
         sampler = Wsj0MixSampler(args.list_dir, args.wav_root or ".", cfg,
-                                 args.split, mix_ks=mix_ks)
+                                 args.split, mix_ks=mix_ks, spk2idx=spk2idx)
         cfg = cfg.replace(num_speakers=max(cfg.num_speakers,
                                            sampler.num_speakers))
         idx2spk = sampler.idx2spk
         list_batches = sampler.batches(cfg.batch_size_eval, shuffle=False)
         n_batches = sampler.num_batches(cfg.batch_size_eval)
+        if n_batches == 0:
+            raise SystemExit(
+                f"every mixture-list pool has fewer than batch_size_eval="
+                f"{cfg.batch_size_eval} entries — no full batch can be "
+                f"formed; lower batch_size_eval or extend the lists")
     else:
         bank, cfg, idx2spk = load_bank(cfg, args)
         n_batches = args.batches
@@ -100,12 +117,15 @@ def main(argv=None):
         from dl4ss_tpu.train.checkpoint import load_cfg
         ck_cfg = load_cfg(args.checkpoint_dir)
         if ck_cfg is not None:
-            if args.list_dir and sampler.num_speakers > ck_cfg.num_speakers:
+            data_speakers = (sampler.num_speakers if args.list_dir
+                             else cfg.num_speakers)
+            if data_speakers > ck_cfg.num_speakers:
                 raise SystemExit(
-                    f"the lists reference {sampler.num_speakers} speakers "
+                    f"the eval data references {data_speakers} speakers "
                     f"but the checkpoint was trained with "
-                    f"{ck_cfg.num_speakers}; evaluate with the training "
-                    f"lists' vocabulary or a matching checkpoint")
+                    f"{ck_cfg.num_speakers}; speaker ids past the trained "
+                    f"embedding rows would silently mis-evaluate — use the "
+                    f"training data/vocabulary or a matching checkpoint")
             cfg = cfg.replace(num_speakers=ck_cfg.num_speakers)
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     if args.checkpoint_dir:
@@ -177,8 +197,8 @@ def _memory_eval(args):
     import jax.numpy as jnp
 
     from dl4ss_tpu.data.listsampler import mix_from_list
-    from dl4ss_tpu.data.synth import (featurize, normalize_utterance,
-                                      sample_mixtures)
+    from dl4ss_tpu.data.synth import (featurize, linear_target_mags,
+                                      normalize_utterance, sample_mixtures)
     from dl4ss_tpu.eval.sisdr import si_sdr
     from dl4ss_tpu.models.memory import memory_extend, memory_reset_rows
     from dl4ss_tpu.ops.crm import unpack_ri
@@ -209,10 +229,10 @@ def _memory_eval(args):
 
     def _score(memory, batch, spk_id):
         feats = featurize(batch, cfg)
+        mix_mag, target_mag = linear_target_mags(feats, batch, cfg)
         out = ev(state.params, memory,
-                 {"mix_feas": feats["mix_feas"], "mix_mag": feats["mix_feas"],
-                  "spk_id": spk_id,
-                  "target_mag": feats["src_feas"][:, 0]})
+                 {"mix_feas": feats["mix_feas"], "mix_mag": mix_mag,
+                  "spk_id": spk_id, "target_mag": target_mag})
         mix = unpack_ri(feats["mix_ri"])
         phasor = mix / jnp.maximum(jnp.abs(mix), 1e-8).astype(mix.dtype)
         wav = istft(out["pred_mag"] * phasor, cfg.frame_length,

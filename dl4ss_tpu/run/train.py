@@ -96,13 +96,23 @@ def main(argv=None):
         sampler = Wsj0MixSampler(args.list_dir, root, cfg, args.split,
                                  mix_ks=mix_ks)
         cfg = cfg.replace(num_speakers=sampler.num_speakers)
+        if args.checkpoint_dir:
+            # record the training vocabulary beside the checkpoints so
+            # evaluators index the same embedding rows (speaker -> row is
+            # an artifact of the TRAIN lists, not of the eval lists)
+            import json
+            os.makedirs(args.checkpoint_dir, exist_ok=True)
+            with open(os.path.join(args.checkpoint_dir, "vocab.json"),
+                      "w") as fh:
+                json.dump(sampler.spk2idx, fh)
         if any(os.path.exists(os.path.join(args.list_dir,
                                            mix_list_name(k, "valid")))
                for k in mix_ks):
             dev = Wsj0MixSampler(args.list_dir, root, cfg, "valid",
                                  mix_ks=mix_ks,
                                  spk2idx=sampler.spk2idx)
-            eval_batch = next(dev.batches(cfg.batch_size, shuffle=False))
+            if dev.num_batches(cfg.batch_size) >= 1:
+                eval_batch = next(dev.batches(cfg.batch_size, shuffle=False))
         bank = None
     else:
         bank, cfg, _ = load_bank(cfg, args)
@@ -196,7 +206,8 @@ def _run_memory_mode(cfg, bank, args):
     with early stopping (train/memory_trainer.py)."""
     import jax
     import jax.numpy as jnp
-    from dl4ss_tpu.data.synth import featurize, sample_mixtures
+    from dl4ss_tpu.data.synth import (featurize, linear_target_mags,
+                                      sample_mixtures)
     from dl4ss_tpu.data.mnist import digit_query_bank, load_mnist
     from dl4ss_tpu.train.memory_trainer import memory_train_loop
 
@@ -208,10 +219,11 @@ def _run_memory_mode(cfg, bank, args):
     def make_batch(key):
         b = sample_mixtures(key, bank, cfg)
         f = featurize(b, cfg)
-        feats = {"mix_feas": f["mix_feas"], "mix_mag": f["mix_feas"],
+        mix_mag, target_mag = linear_target_mags(f, b, cfg)
+        feats = {"mix_feas": f["mix_feas"], "mix_mag": mix_mag,
                  "spk_id": b.spk_idx[:, 0],          # first speaker = target
                  "clean_feas": f["src_feas"][:, 0],
-                 "target_mag": f["src_feas"][:, 0]}
+                 "target_mag": target_mag}
         if qbank is not None:
             vi = jax.random.randint(key, b.spk_idx[:, 0].shape, 0,
                                     qbank.shape[1])

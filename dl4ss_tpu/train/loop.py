@@ -60,7 +60,14 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
     """
     epochs = max_epochs if max_epochs is not None else cfg.max_epoch
     if sampler is not None:
-        epoch_size = max(sampler.num_batches(cfg.batch_size), 1)
+        epoch_size = sampler.num_batches(cfg.batch_size)
+        if epoch_size == 0:
+            raise ValueError(
+                f"every mixture-list pool has fewer than batch_size="
+                f"{cfg.batch_size} entries ({len(sampler.entries)} total) — "
+                f"no full batch can be formed; lower batch_size or extend "
+                f"the lists (floor-division batch semantics, "
+                f"predata_fromList.py:90)")
     else:
         epoch_size = epoch_size if epoch_size is not None else cfg.epoch_size
     if bank is None and sampler is None:
@@ -82,8 +89,8 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
                 f"{n_dev} available device(s)")
         if cfg.batch_size % cfg.dp_size:
             raise ValueError(
-                f"batch_size={cfg.batch_size} must divide dp_size="
-                f"{cfg.dp_size} for even batch sharding")
+                f"dp_size={cfg.dp_size} must divide batch_size="
+                f"{cfg.batch_size} for even batch sharding")
         mesh = make_mesh(dp=cfg.dp_size, mp=cfg.mp_size)
         state = shard_state(state, mesh)
         if bank is not None:

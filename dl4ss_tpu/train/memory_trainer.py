@@ -32,7 +32,7 @@ from dl4ss_tpu.config import Config
 from dl4ss_tpu.models.attention import apply_mask_head, init_mask_head
 from dl4ss_tpu.models.encoder import apply_encoder, init_encoder
 from dl4ss_tpu.models.memory import (MemorySlots, SLOT_IMAGE, SLOT_SPEECH,
-                                     init_memory, memory_read,
+                                     init_memory, memory_read, memory_rows,
                                      memory_write_slot)
 from dl4ss_tpu.models.query import (apply_image_query, apply_speech_query,
                                     init_image_query, init_speech_query,
@@ -165,11 +165,8 @@ def unk_row(cfg: Config) -> int:
     return cfg.num_speakers
 
 
-def memory_rows(cfg: Config) -> int:
-    """Memory row count: the speaker inventory plus the reserved unk row
-    (SpkLifeLongMemory sizes its table with the unk slot when UNK_SPK,
-    extend_layers.py:133-136)."""
-    return cfg.num_speakers + (1 if cfg.unk_spk else 0)
+# memory_rows is re-exported from models/memory.py (imported above) — the
+# single source of truth shared with create_train_state
 
 
 def create_memory_state(key, cfg: Config, query_source: str = "speech",

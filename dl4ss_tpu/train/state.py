@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from dl4ss_tpu.config import Config
-from dl4ss_tpu.models.memory import MemorySlots, init_memory
+from dl4ss_tpu.models.memory import MemorySlots, init_memory, memory_rows
 from dl4ss_tpu.models.separator import init_separator
 
 
@@ -78,10 +78,8 @@ def create_train_state(key: jax.Array, cfg: Config,
     if cfg.use_discriminator:
         d_opt_state = make_optimizer(cfg, steps_per_epoch).init(
             params["discriminator"])
-    # + the reserved unk enrollment row when cfg.unk_spk (the
-    # SpkLifeLongMemory unk slot, extend_layers.py:133-136)
-    rows = cfg.num_speakers + (1 if cfg.unk_spk else 0)
-    memory = init_memory(rows, cfg.query_dim) if with_memory else None
+    memory = (init_memory(memory_rows(cfg), cfg.query_dim)
+              if with_memory else None)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=opt_state, memory=memory, rng=k_rng,
                       d_opt_state=d_opt_state)

@@ -239,3 +239,58 @@ def test_memory_train_loop_early_stopping():
                                        dev_batch=dev)
     assert len(history) >= 1
     assert history[-1] <= history[0] * 2  # sane dev-loss trajectory
+
+
+def test_empty_pool_errors(tmp_path, rng):
+    """Pools smaller than batch_size must fail loudly, not StopIteration."""
+    import pytest
+    from dl4ss_tpu.train.loop import train_loop
+    cfg = CFG.replace(max_len_seconds=0.375, batch_size=64)
+    ldir, root = _make_wsj0_layout(tmp_path, rng)
+    s = Wsj0MixSampler(ldir, root, cfg, "train")
+    assert s.num_batches(64) == 0
+    with pytest.raises(ValueError, match="fewer than batch_size"):
+        train_loop(cfg.replace(num_speakers=s.num_speakers), sampler=s,
+                   max_epochs=1)
+
+
+def test_train_vocab_sidecar_roundtrip(tmp_path, rng):
+    """run.train records the TRAIN vocabulary beside the checkpoints and
+    run.evaluate indexes the eval lists with it (same embedding rows even
+    if the eval split covers a speaker subset)."""
+    import json
+    ldir, root = _make_wsj0_layout(tmp_path, rng)
+    ck = str(tmp_path / "ck")
+    from dl4ss_tpu.run.train import main as train_main
+    train_main(["--preset", "synth_tiny", "--set", "max_len_seconds=0.375",
+                "--set", "batch_size=2", "--list-dir", ldir, "--wav-root",
+                root, "--epochs", "1", "--checkpoint-dir", ck,
+                "--set", "checkpoint_every_epochs=1"])
+    vocab = json.load(open(os.path.join(ck, "vocab.json")))
+    assert len(vocab) == 4
+    # evaluating the cv lists under the recorded vocabulary
+    from dl4ss_tpu.run.evaluate import main as eval_main
+    sisdr = eval_main(["--preset", "synth_tiny", "--set",
+                       "max_len_seconds=0.375", "--set", "batch_size_eval=2",
+                       "--list-dir", ldir, "--wav-root", root, "--split",
+                       "valid", "--checkpoint-dir", ck, "--teacher-forced"])
+    assert np.isfinite(sisdr)
+
+
+def test_linear_target_mags_log_spectral():
+    """log_spectral configs must still mask/score LINEAR spectra
+    (nnet.py:95): the multiplicand may not contain log-domain negatives."""
+    from dl4ss_tpu.data.synth import linear_target_mags
+    cfg = CFG.replace(log_spectral=True)
+    b = sample_mixtures(jax.random.PRNGKey(0), jnp.asarray(
+        make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len)), cfg)
+    f = featurize(b, cfg)
+    assert np.asarray(f["mix_feas"]).min() < 0          # log features
+    mix_mag, target_mag = linear_target_mags(f, b, cfg)
+    assert np.asarray(mix_mag).min() >= 0               # linear spectrum
+    assert np.asarray(target_mag).min() >= 0
+    # and the linear path passes features straight through
+    cfg_lin = CFG
+    f2 = featurize(b, cfg_lin)
+    m2, t2 = linear_target_mags(f2, b, cfg_lin)
+    np.testing.assert_array_equal(np.asarray(m2), np.asarray(f2["mix_feas"]))
