@@ -125,6 +125,15 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = build_cfg(args)
+    if args.checkpoint_dir:
+        # state shapes must come from the TRAINING config (above all
+        # num_speakers) or orbax restore fails / silently mis-shapes;
+        # CLI runtime overrides still win on top
+        from dl4ss_tpu.run.common import apply_overrides
+        from dl4ss_tpu.train.checkpoint import load_cfg
+        ck_cfg = load_cfg(args.checkpoint_dir)
+        if ck_cfg is not None:
+            cfg = apply_overrides(ck_cfg, args)
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
