@@ -94,7 +94,6 @@ class Config:
     # training: model matmuls/activations in bf16 (native MXU tiles), master
     # params + optimizer + loss math in f32 (train/steps._compute_cast);
     # the cRM complex path and DSP matmuls always stay f32
-    param_dtype: str = "float32"
     use_pallas_stft: bool = False    # fused Pallas frame+window+DFT kernel
     use_pallas_rnn: bool = False     # fused Pallas GRU/LSTM scan kernels —
     # 1.3-1.7x faster than lax.scan at reference shapes on TPU (128-padded
@@ -103,16 +102,12 @@ class Config:
     # turn it on; very wide layers auto-fall back to the scan (VMEM).
     remat: bool = False              # jax.checkpoint the encoder scan
 
-    # ---- parallelism -----------------------------------------------------
-    data_axis: str = "data"
-    model_axis: str = "model"
+    # ---- parallelism (mesh axes are named "data"/"model", parallel/mesh.py)
     dp_size: int = 1                 # data-parallel mesh extent
     mp_size: int = 1                 # model/tensor-parallel mesh extent
 
-    # ---- persistence / telemetry ----------------------------------------
-    checkpoint_dir: str = "checkpoints"
+    # ---- persistence / telemetry (paths are CLI args, not config) --------
     checkpoint_every_epochs: int = 10
-    metrics_path: str = "metrics.jsonl"
     out_sep_result: bool = False     # dump separated wavs (Out_Sep_Result)
     output_dir: str = "batch_output"  # wav naming contract dir
 

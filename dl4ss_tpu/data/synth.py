@@ -24,7 +24,7 @@ import numpy as np
 
 from dl4ss_tpu.config import Config
 from dl4ss_tpu.ops.crm import pack_ri
-from dl4ss_tpu.ops.stft import spectral_feature, stft
+from dl4ss_tpu.ops.stft import spectral_feature_cfg, stft_cfg
 
 
 class MixtureBatch(NamedTuple):
@@ -150,7 +150,10 @@ def featurize(batch: MixtureBatch, cfg: Config):
     spectrum (packed RI), per-source clean features.
     """
     b, k, n = batch.source_wavs.shape
-    if cfg.use_pallas_stft and not cfg.log_spectral:
+    if (cfg.use_pallas_stft and not cfg.log_spectral
+            and cfg.window == "hann" and cfg.center):
+        # the fused kernel bakes the hann/centered convention; other
+        # window/center configs take the XLA matmul path below
         from dl4ss_tpu.ops.pallas_stft import pallas_spectral_feature
         mix_feat, mix_ri = pallas_spectral_feature(
             batch.mix_wav, cfg.frame_length, cfg.frame_shift)
@@ -160,11 +163,9 @@ def featurize(batch: MixtureBatch, cfg: Config):
         src_feat = src_feat.reshape(b, k, *src_feat.shape[1:])
         src_ri = src_ri.reshape(b, k, *src_ri.shape[1:])
     else:
-        mix_feat, mix_spec = spectral_feature(
-            batch.mix_wav, cfg.frame_length, cfg.frame_shift,
-            log_spectral=cfg.log_spectral)
+        mix_feat, mix_spec = spectral_feature_cfg(batch.mix_wav, cfg)
         mix_ri = pack_ri(mix_spec)
-        src_spec = stft(batch.source_wavs, cfg.frame_length, cfg.frame_shift)
+        src_spec = stft_cfg(batch.source_wavs, cfg)
         src_feat, src_ri = jnp.abs(src_spec), pack_ri(src_spec)
     out = {
         "mix_wav": batch.mix_wav,
@@ -190,8 +191,7 @@ def linear_target_mags(feats, batch: MixtureBatch, cfg: Config):
         return feats["mix_feas"], feats["src_feas"][:, 0]
     from dl4ss_tpu.ops.crm import unpack_ri
     mix_mag = jnp.abs(unpack_ri(feats["mix_ri"]))
-    target_mag = jnp.abs(stft(batch.source_wavs[:, 0], cfg.frame_length,
-                              cfg.frame_shift))
+    target_mag = jnp.abs(stft_cfg(batch.source_wavs[:, 0], cfg))
     return mix_mag, target_mag
 
 
@@ -207,4 +207,4 @@ def same_speaker_real_specs(key: jax.Array, batch: MixtureBatch,
     u = bank.shape[1]
     utt = jax.random.randint(key, (b, k), 0, u)
     wavs = normalize_utterance(bank[batch.spk_idx, utt])
-    return jnp.abs(stft(wavs, cfg.frame_length, cfg.frame_shift))
+    return jnp.abs(stft_cfg(wavs, cfg))

@@ -199,17 +199,41 @@ def magnitude_and_phase(spec: jax.Array, eps: float = 1e-8
 def spectral_feature(wav: jax.Array, frame_length: int = 256,
                      frame_shift: int = 128, window: str = "hann",
                      log_spectral: bool = False,
-                     log_window: str = "sine") -> Tuple[jax.Array, jax.Array]:
+                     log_window: str = "sine",
+                     center: bool = True) -> Tuple[jax.Array, jax.Array]:
     """wav -> (feature, complex spectrogram).
 
     Linear path: |STFT| with Hann (predata_multiAims.py:200-206).  Log path:
     log(|STFT|+eps) with the sine window (predata_multiAims.py:195-197,
     config.py:240) — both gated by IS_LOG_SPECTRAL in the reference.
     """
-    spec = stft(wav, frame_length, frame_shift, window=window)
+    spec = stft(wav, frame_length, frame_shift, window=window, center=center)
     if log_spectral:
-        lspec = stft(wav, frame_length, frame_shift, window=log_window)
+        lspec = stft(wav, frame_length, frame_shift, window=log_window,
+                     center=center)
         feat = jnp.log(jnp.abs(lspec) + np.spacing(np.float32(1.0)))
     else:
         feat = jnp.abs(spec)
     return feat, spec
+
+
+# ---- Config-aware conveniences: the analysis window and centering are
+# Config knobs (cfg.window / cfg.center); every batch-path call site goes
+# through these so the knobs actually govern the DSP -------------------------
+
+
+def stft_cfg(wav: jax.Array, cfg) -> jax.Array:
+    return stft(wav, cfg.frame_length, cfg.frame_shift, window=cfg.window,
+                center=cfg.center)
+
+
+def istft_cfg(spec: jax.Array, cfg, length: Optional[int] = None
+              ) -> jax.Array:
+    return istft(spec, cfg.frame_length, cfg.frame_shift, window=cfg.window,
+                 center=cfg.center, length=length)
+
+
+def spectral_feature_cfg(wav: jax.Array, cfg) -> Tuple[jax.Array, jax.Array]:
+    return spectral_feature(wav, cfg.frame_length, cfg.frame_shift,
+                            window=cfg.window, log_spectral=cfg.log_spectral,
+                            center=cfg.center)

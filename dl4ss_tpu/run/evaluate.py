@@ -202,7 +202,7 @@ def _memory_eval(args):
     from dl4ss_tpu.eval.sisdr import si_sdr
     from dl4ss_tpu.models.memory import memory_extend, memory_reset_rows
     from dl4ss_tpu.ops.crm import unpack_ri
-    from dl4ss_tpu.ops.stft import istft, spectral_feature
+    from dl4ss_tpu.ops.stft import istft_cfg, spectral_feature_cfg
     from dl4ss_tpu.train.checkpoint import load_cfg, restore_checkpoint
     from dl4ss_tpu.train.memory_trainer import (create_memory_state, enroll,
                                                 make_memory_eval_step)
@@ -235,8 +235,8 @@ def _memory_eval(args):
                   "spk_id": spk_id, "target_mag": target_mag})
         mix = unpack_ri(feats["mix_ri"])
         phasor = mix / jnp.maximum(jnp.abs(mix), 1e-8).astype(mix.dtype)
-        wav = istft(out["pred_mag"] * phasor, cfg.frame_length,
-                    cfg.frame_shift, length=cfg.max_len)
+        wav = istft_cfg(out["pred_mag"] * phasor, cfg,
+                        length=cfg.max_len)
         target = batch.source_wavs[:, 0]
         pred_sdr = si_sdr(wav, target)
         mix_sdr = si_sdr(batch.mix_wav, target)
@@ -291,9 +291,7 @@ def _memory_eval(args):
         memory = memory_reset_rows(memory, row)
         ewav = normalize_utterance(unk_bank[u, min(1, n_utt - 1)])[:supp]
         ewav = jnp.pad(ewav, (0, cfg.max_len - supp))
-        efeat, _ = spectral_feature(ewav[None], cfg.frame_length,
-                                    cfg.frame_shift,
-                                    log_spectral=cfg.log_spectral)
+        efeat, _ = spectral_feature_cfg(ewav[None], cfg)
         memory = enroll(state.params, memory, cfg, row, efeat,
                         args.query_source)
     b = cfg.batch_size_eval

@@ -23,7 +23,8 @@ from dl4ss_tpu.data.resample import resample_poly_kaiser
 from dl4ss_tpu.data.wavio import read_wav, write_wav
 from dl4ss_tpu.models.separator import recursive_separate, separate
 from dl4ss_tpu.ops.crm import unpack_ri
-from dl4ss_tpu.ops.stft import istft, magnitude_and_phase, stft
+from dl4ss_tpu.ops.stft import (istft_cfg, magnitude_and_phase,
+                                stft_cfg)
 from dl4ss_tpu.run.common import add_common_args, build_cfg
 from dl4ss_tpu.train.checkpoint import restore_checkpoint
 from dl4ss_tpu.train.state import create_train_state
@@ -101,12 +102,11 @@ def separate_long(params, wav: np.ndarray, cfg, spk_idx=None,
 def _separate_chunk(params, chunk: np.ndarray, cfg, spk_idx=None):
     import jax.numpy as jnp
     mix = jnp.asarray(chunk)[None]
-    spec = stft(mix, cfg.frame_length, cfg.frame_shift)
+    spec = stft_cfg(mix, cfg)
     mag, phasor = magnitude_and_phase(spec)
     idx = None if spk_idx is None else jnp.asarray(spk_idx)[None]
     out = separate(params, mag, cfg, spk_idx=idx)
-    wavs = istft(out.pred * phasor[:, None], cfg.frame_length,
-                 cfg.frame_shift, length=cfg.max_len)
+    wavs = istft_cfg(out.pred * phasor[:, None], cfg, length=cfg.max_len)
     return np.asarray(wavs[0])
 
 
@@ -157,7 +157,7 @@ def main(argv=None):
 
     wavs, true_lens = zip(*[_load_mix(w, cfg) for w in args.wavs])
     mix = jnp.asarray(np.stack(wavs))
-    spec = stft(mix, cfg.frame_length, cfg.frame_shift)
+    spec = stft_cfg(mix, cfg)
     mag, phasor = magnitude_and_phase(spec)
 
     if args.mode == "recursive":
@@ -179,8 +179,7 @@ def main(argv=None):
         chosen = (np.asarray(spk_idx) if spk_idx is not None else
                   np.asarray(jax.lax.top_k(out.probs, cfg.top_k)[1]))
 
-    sep = np.asarray(istft(pred_spec, cfg.frame_length, cfg.frame_shift,
-                           length=cfg.max_len))
+    sep = np.asarray(istft_cfg(pred_spec, cfg, length=cfg.max_len))
     for i, src_path in enumerate(args.wavs):
         stem = os.path.splitext(os.path.basename(src_path))[0]
         for k in range(sep.shape[1]):

@@ -45,12 +45,17 @@ def save_checkpoint(directory, state: TrainState, step: Optional[int] = None,
 
 def load_cfg(directory) -> Optional[Config]:
     """The Config the checkpoints in `directory` were trained with, if the
-    trainer recorded one (save_checkpoint(cfg=...))."""
+    trainer recorded one (save_checkpoint(cfg=...)). Keys the current
+    Config no longer defines are dropped so old sidecars keep restoring
+    across config-schema changes."""
+    import dataclasses
     path = os.path.join(directory, "cfg.json")
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return Config(**json.load(f))
+        raw = json.load(f)
+    known = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in raw.items() if k in known})
 
 
 def latest_step(directory) -> Optional[int]:

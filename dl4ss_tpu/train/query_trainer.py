@@ -116,7 +116,7 @@ def make_query_eval_step(cfg: Config, query_source: str = "video") -> Callable:
     scored like make_eval_step (mix-phase iSTFT, live-channel PIT SI-SDR)."""
     from dl4ss_tpu.eval.sisdr import si_sdr_pit
     from dl4ss_tpu.ops.crm import unpack_ri
-    from dl4ss_tpu.ops.stft import istft
+    from dl4ss_tpu.ops.stft import istft_cfg
 
     @jax.jit
     def step(params, feats):
@@ -125,8 +125,8 @@ def make_query_eval_step(cfg: Config, query_source: str = "video") -> Callable:
         mix = unpack_ri(feats["mix_ri"])
         mag = jnp.abs(mix)
         phasor = mix / jnp.maximum(mag, 1e-8).astype(mix.dtype)
-        wavs = istft(out.pred * phasor[:, None], cfg.frame_length,
-                     cfg.frame_shift, length=cfg.max_len)
+        wavs = istft_cfg(out.pred * phasor[:, None], cfg,
+                         length=cfg.max_len)
         scores, perm = si_sdr_pit(wavs, feats["source_wavs"],
                                   live=feats.get("channel_live"))
         return {"pred_wavs": wavs, "si_sdr": scores, "perm": perm}

@@ -27,7 +27,7 @@ from dl4ss_tpu.objectives.losses import (complex_mse_loss, gan_d_loss,
                                          multilabel_softmargin_loss,
                                          sum_to_one_loss)
 from dl4ss_tpu.objectives.pit import pit_loss, pit_permute
-from dl4ss_tpu.ops.stft import istft
+from dl4ss_tpu.ops.stft import istft_cfg
 from dl4ss_tpu.ops.crm import unpack_ri
 from dl4ss_tpu.eval.sisdr import si_sdr_pit
 from dl4ss_tpu.train.state import TrainState, make_optimizer
@@ -337,8 +337,7 @@ def make_eval_step(cfg: Config) -> Callable:
             mag = jnp.abs(mix)
             phasor = mix / jnp.maximum(mag, 1e-8).astype(mix.dtype)
             pred_spec = out.pred * phasor[:, None]
-        wavs = istft(pred_spec, cfg.frame_length, cfg.frame_shift,
-                     length=cfg.max_len)
+        wavs = istft_cfg(pred_spec, cfg, length=cfg.max_len)
         scores, perm = si_sdr_pit(wavs, feats["source_wavs"],
                                   live=feats.get("channel_live"))
         return {"pred_wavs": wavs, "si_sdr": scores, "perm": perm,

@@ -217,3 +217,38 @@ def test_wav_duration_and_update_max_len(tmp_path, rng):
     # b.wav is 7000/16k = 3500 samples at 8k -> longest; capped by max_len
     assert update_max_len([p1, p2], 40000, 8000) == 3500
     assert update_max_len([p1, p2], 3200, 8000) == 3200
+
+
+def test_window_and_center_knobs_govern_featurize():
+    """cfg.window / cfg.center must actually change the features (they are
+    logged config knobs, not decorations)."""
+    import jax
+    import jax.numpy as jnp
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.data.synth import featurize, make_synthetic_bank, \
+        sample_mixtures
+    cfg = preset("synth_tiny")
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2,
+                                           cfg.max_len))
+    b = sample_mixtures(jax.random.PRNGKey(0), bank, cfg)
+    hann = featurize(b, cfg)["mix_feas"]
+    sine = featurize(b, cfg.replace(window="sine"))["mix_feas"]
+    assert float(jnp.max(jnp.abs(hann - sine))) > 1e-3
+    uncentered = featurize(b, cfg.replace(center=False))["mix_feas"]
+    assert uncentered.shape[1] != hann.shape[1]
+
+
+def test_load_cfg_ignores_unknown_keys(tmp_path):
+    """cfg.json sidecars written under an older Config schema must still
+    restore (extra keys dropped)."""
+    import json
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.train.checkpoint import load_cfg
+    d = tmp_path / "ck"
+    d.mkdir()
+    raw = json.loads(preset("synth_tiny").to_json())
+    raw["param_dtype"] = "float32"      # removed field
+    raw["some_future_knob"] = 42
+    (d / "cfg.json").write_text(json.dumps(raw))
+    cfg = load_cfg(str(d))
+    assert cfg is not None and cfg.name == "synth_tiny"
