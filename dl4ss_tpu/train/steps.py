@@ -265,9 +265,14 @@ def make_adversarial_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
         # ---- phase 1: discriminator ----
         def d_loss_fn(d_params):
             params = dict(state.params, discriminator=d_params)
-            out = separate(params, feats["mix_feas"], cfg,
+            # the generator forward here is stop-gradient sample
+            # generation — run it in the compute dtype too
+            gparams, cfeats = _compute_cast(params, feats, cfg)
+            out = separate(dict(gparams, discriminator=d_params),
+                           cfeats["mix_feas"], cfg,
                            spk_idx=feats["spk_idx"])
-            pred = jax.lax.stop_gradient(out.pred * live[..., None, None])
+            pred = jax.lax.stop_gradient(
+                (out.pred * live[..., None, None]).astype(jnp.float32))
             score_real = apply_discriminator(params["discriminator"], real, cfg)
             score_fake = apply_discriminator(params["discriminator"], pred, cfg)
             return gan_d_loss(score_real, score_fake), (score_real, score_fake)

@@ -283,3 +283,14 @@ def test_bf16_classifier_step_runs():
     assert float(m["loss"]) < first
     assert all(x.dtype == jnp.float32
                for x in jax.tree_util.tree_leaves(state.params))
+
+
+def test_bf16_adversarial_step_runs():
+    cfg16 = CFG.replace(compute_dtype="bfloat16", use_discriminator=True)
+    state = create_train_state(jax.random.PRNGKey(0), cfg16)
+    step = make_adversarial_step(cfg16)
+    feats = _feats(cfg16)
+    state, m = step(state, feats)
+    assert np.isfinite(float(m["g_loss"])) and np.isfinite(float(m["d_loss"]))
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(state.params))
