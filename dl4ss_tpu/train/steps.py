@@ -326,9 +326,15 @@ def make_eval_step(cfg: Config) -> Callable:
     def step(params, feats, teacher_forced: bool = True,
              complement_mask: bool = False):
         spk_idx = feats["spk_idx"] if teacher_forced else None
-        out = separate(params, feats["mix_feas"], cfg, spk_idx=spk_idx,
-                       mix_ri=feats.get("mix_ri"),
+        # compute_dtype also governs inference (same bf16 forward the
+        # throughput bench runs); masks are applied / scored in f32
+        cparams, cfeats = _compute_cast(params, feats, cfg)
+        out = separate(cparams, cfeats["mix_feas"], cfg, spk_idx=spk_idx,
+                       mix_ri=cfeats.get("mix_ri"),
                        need_probs=complement_mask)
+        out = out._replace(pred=out.pred.astype(jnp.float32),
+                           masks=out.masks.astype(jnp.float32),
+                           probs=out.probs.astype(jnp.float32))
         if complement_mask and not cfg.is_complex_mask and cfg.top_k == 2:
             one_spk = jnp.sum(out.probs > cfg.alpha, axis=-1) <= 1  # (B,)
             comp = (1.0 - out.masks[:, 0]) * feats["mix_feas"]

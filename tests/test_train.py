@@ -294,3 +294,13 @@ def test_bf16_adversarial_step_runs():
     assert np.isfinite(float(m["g_loss"])) and np.isfinite(float(m["d_loss"]))
     assert all(x.dtype == jnp.float32
                for x in jax.tree_util.tree_leaves(state.params))
+
+
+def test_bf16_eval_step_close_to_f32():
+    cfg16 = CFG.replace(compute_dtype="bfloat16")
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    feats = _feats()
+    s32 = np.asarray(make_eval_step(CFG)(state.params, feats)["si_sdr"])
+    s16 = np.asarray(make_eval_step(cfg16)(state.params, feats)["si_sdr"])
+    assert np.isfinite(s16).all()
+    assert abs(float(s16.mean() - s32.mean())) < 1.0   # dB
