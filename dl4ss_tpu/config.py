@@ -90,10 +90,12 @@ class Config:
     optimizer: str = "adam"
 
     # ---- numerics / TPU --------------------------------------------------
-    compute_dtype: str = "float32"   # float32 | bfloat16 — mixed-precision
-    # training: model matmuls/activations in bf16 (native MXU tiles), master
-    # params + optimizer + loss math in f32 (train/steps._compute_cast);
-    # the cRM complex path and DSP matmuls always stay f32
+    compute_dtype: str = "float32"   # float32 | bfloat16 — mixed precision:
+    # model matmuls/activations in bf16 (native MXU tiles), master params +
+    # optimizer + loss math in f32 (train/steps._compute_cast). Governs the
+    # joint/dense/classifier/adversarial train steps and eval inference;
+    # the cRM complex path, the memory trainer's write math, and the DSP
+    # matmuls always stay f32 (precision-sensitive by design).
     use_pallas_stft: bool = False    # fused Pallas frame+window+DFT kernel
     use_pallas_rnn: bool = False     # fused Pallas GRU/LSTM scan kernels —
     # 1.3-1.7x faster than lax.scan at reference shapes on TPU (128-padded
