@@ -73,6 +73,17 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = build_cfg(args)
+    ck_cfg = None
+    if args.resume and args.checkpoint_dir:
+        # resume must rebuild the EXACT state shapes the checkpoint was
+        # trained with; runtime overrides (--set, --batch-size) still win
+        from dl4ss_tpu.run.common import apply_overrides
+        from dl4ss_tpu.train.checkpoint import load_cfg
+        ck_cfg = load_cfg(args.checkpoint_dir)
+        if ck_cfg is not None:
+            cfg = apply_overrides(ck_cfg, args)
+            print(f"resuming under the checkpoint's config "
+                  f"(preset {ck_cfg.name!r})")
     if args.dp is not None or args.mp is not None:
         import jax
         mp = args.mp if args.mp is not None else max(cfg.mp_size, 1)
@@ -127,6 +138,12 @@ def main(argv=None):
         noise_bank = jnp.asarray(_load_bank(paths, cfg.frame_rate,
                                             cfg.max_len))
         cfg = cfg.replace(add_bgd_noise=True)
+    if (args.resume and args.checkpoint_dir and ck_cfg is not None
+            and cfg.num_speakers != ck_cfg.num_speakers):
+        raise SystemExit(
+            f"--resume: the data source has {cfg.num_speakers} speakers "
+            f"but the checkpoint was trained with {ck_cfg.num_speakers}; "
+            f"resume with the original data/lists")
     print(cfg.log_config())
     if args.mode == "memory":
         return _run_memory_mode(cfg, bank, args)

@@ -246,3 +246,20 @@ def test_separate_long_file(tmp_path, rng):
     y, _ = read_wav(os.path.join(out, files[0]))
     assert len(y) == n  # full length, not cropped to max_len
     assert np.isfinite(y).all()
+
+
+@pytest.mark.slow
+def test_train_resume_uses_checkpoint_cfg(tmp_path):
+    """--resume rebuilds state from the checkpoint's recorded config even if
+    the CLI preset differs (runtime overrides still win)."""
+    from dl4ss_tpu.run.train import main as train_main
+    ck = str(tmp_path / "ck")
+    base = ["--preset", "synth_tiny", "--epochs", "1", "--epoch-size", "2",
+            "--checkpoint-dir", ck, "--set", "checkpoint_every_epochs=1"]
+    train_main(base)
+    # resuming with a DIFFERENT preset must still restore cleanly
+    state = train_main(["--preset", "torch_multi", "--set",
+                        "use_pallas_rnn=false", "--resume", "--epochs", "2",
+                        "--epoch-size", "2", "--checkpoint-dir", ck,
+                        "--set", "checkpoint_every_epochs=1"])
+    assert int(state.step) == 4
