@@ -155,38 +155,53 @@ def main(argv=None):
                 print("wrote", out_path, f"({sep.shape[1]} samples)")
         return
 
-    wavs, true_lens = zip(*[_load_mix(w, cfg) for w in args.wavs])
-    mix = jnp.asarray(np.stack(wavs))
-    spec = stft_cfg(mix, cfg)
-    mag, phasor = magnitude_and_phase(spec)
+    # process in fixed-size batches (one compiled program regardless of how
+    # many files are given; the last batch is padded up to the batch shape)
+    bsz = min(cfg.batch_size, len(args.wavs))
 
-    if args.mode == "recursive":
-        extracted, spk_steps = jax.jit(
-            lambda pr, f: recursive_separate(pr, f, cfg))(state.params, mag)
-        pred_spec = extracted * phasor[:, None]
-        chosen = np.asarray(spk_steps)
-    else:
-        spk_idx = None
-        if args.speakers:
-            idx = [int(s) for s in args.speakers.split(",")]
-            spk_idx = jnp.tile(jnp.asarray(idx)[None, :], (mix.shape[0], 1))
-        out = separate(state.params, mag, cfg, spk_idx=spk_idx,
-                       mix_ri=jnp.stack([jnp.real(spec), jnp.imag(spec)], -1))
-        if cfg.is_complex_mask:
-            pred_spec = unpack_ri(out.pred)
+    def run_batch(mix):
+        spec = stft_cfg(mix, cfg)
+        mag, phasor = magnitude_and_phase(spec)
+        if args.mode == "recursive":
+            extracted, spk_steps = jax.jit(
+                lambda pr, f: recursive_separate(pr, f, cfg))(state.params,
+                                                              mag)
+            pred_spec = extracted * phasor[:, None]
+            chosen = np.asarray(spk_steps)
         else:
-            pred_spec = out.pred * phasor[:, None]
-        chosen = (np.asarray(spk_idx) if spk_idx is not None else
-                  np.asarray(jax.lax.top_k(out.probs, cfg.top_k)[1]))
+            spk_idx = None
+            if args.speakers:
+                idx = [int(s) for s in args.speakers.split(",")]
+                spk_idx = jnp.tile(jnp.asarray(idx)[None, :],
+                                   (mix.shape[0], 1))
+            out = separate(state.params, mag, cfg, spk_idx=spk_idx,
+                           mix_ri=jnp.stack([jnp.real(spec),
+                                             jnp.imag(spec)], -1))
+            if cfg.is_complex_mask:
+                pred_spec = unpack_ri(out.pred)
+            else:
+                pred_spec = out.pred * phasor[:, None]
+            chosen = (np.asarray(spk_idx) if spk_idx is not None else
+                      np.asarray(jax.lax.top_k(out.probs, cfg.top_k)[1]))
+        sep = np.asarray(istft_cfg(pred_spec, cfg, length=cfg.max_len))
+        return sep, chosen
 
-    sep = np.asarray(istft_cfg(pred_spec, cfg, length=cfg.max_len))
-    for i, src_path in enumerate(args.wavs):
-        stem = os.path.splitext(os.path.basename(src_path))[0]
-        for k in range(sep.shape[1]):
-            out_path = os.path.join(
-                args.out, f"{stem}_spk{int(chosen[i, k])}_step{k}.wav")
-            write_wav(out_path, sep[i, k, :true_lens[i]], cfg.frame_rate)
-            print("wrote", out_path)
+    for start in range(0, len(args.wavs), bsz):
+        paths = args.wavs[start:start + bsz]
+        wavs, true_lens = zip(*[_load_mix(w, cfg) for w in paths])
+        stacked = np.stack(wavs)
+        n = len(paths)
+        if n < bsz:   # pad the tail batch to the compiled shape
+            stacked = np.concatenate(
+                [stacked, np.zeros((bsz - n, stacked.shape[1]), np.float32)])
+        sep, chosen = run_batch(jnp.asarray(stacked))
+        for i, src_path in enumerate(paths):
+            stem = os.path.splitext(os.path.basename(src_path))[0]
+            for k in range(sep.shape[1]):
+                out_path = os.path.join(
+                    args.out, f"{stem}_spk{int(chosen[i, k])}_step{k}.wav")
+                write_wav(out_path, sep[i, k, :true_lens[i]], cfg.frame_rate)
+                print("wrote", out_path)
 
 
 if __name__ == "__main__":

@@ -263,3 +263,21 @@ def test_train_resume_uses_checkpoint_cfg(tmp_path):
                         "--epoch-size", "2", "--checkpoint-dir", ck,
                         "--set", "checkpoint_every_epochs=1"])
     assert int(state.step) == 4
+
+
+@pytest.mark.slow
+def test_separate_many_files_batches(tmp_path, rng):
+    """More input files than batch_size run in fixed-shape batches (one
+    compiled program; padded tail batch)."""
+    from dl4ss_tpu.run.separate import main as separate_main
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"mix{i}.wav"
+        write_wav(p, 0.3 * rng.standard_normal(3000).astype(np.float32), 8000)
+        paths.append(str(p))
+    out = tmp_path / "sep"
+    separate_main(paths + ["--preset", "synth_tiny", "--set", "batch_size=2",
+                           "--set", "max_len_seconds=0.375",
+                           "--speakers", "0,1", "--out", str(out)])
+    wrote = sorted(os.listdir(out))
+    assert len(wrote) == 10          # 5 files x 2 channels
