@@ -30,6 +30,14 @@ def main(argv=None):
     p.add_argument("--out", default="emb_pca")
     args = p.parse_args(argv)
     cfg = build_cfg(args)
+    if args.checkpoint_dir:
+        # rebuild the state template from the TRAINING config (list-mode
+        # checkpoints carry their own speaker count)
+        from dl4ss_tpu.run.common import apply_overrides
+        from dl4ss_tpu.train.checkpoint import load_cfg
+        ck_cfg = load_cfg(args.checkpoint_dir)
+        if ck_cfg is not None:
+            cfg = apply_overrides(ck_cfg, args)
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)

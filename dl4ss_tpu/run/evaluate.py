@@ -111,9 +111,12 @@ def main(argv=None):
         bank, cfg, idx2spk = load_bank(cfg, args)
         n_batches = args.batches
     if args.checkpoint_dir:
-        # shapes must come from the TRAINING config, not the eval data:
-        # a checkpoint trained with a different speaker inventory would
-        # otherwise fail deep inside orbax (or silently mis-evaluate)
+        # the FULL training config governs the eval state/protocol (model
+        # widths, mask head, top_k, log_spectral, ...), not just the
+        # speaker count — a checkpoint trained with non-preset overrides
+        # would otherwise fail deep inside orbax or silently evaluate a
+        # different protocol; CLI runtime overrides still win on top
+        from dl4ss_tpu.run.common import apply_overrides
         from dl4ss_tpu.train.checkpoint import load_cfg
         ck_cfg = load_cfg(args.checkpoint_dir)
         if ck_cfg is not None:
@@ -126,7 +129,7 @@ def main(argv=None):
                     f"{ck_cfg.num_speakers}; speaker ids past the trained "
                     f"embedding rows would silently mis-evaluate — use the "
                     f"training data/vocabulary or a matching checkpoint")
-            cfg = cfg.replace(num_speakers=ck_cfg.num_speakers)
+            cfg = apply_overrides(ck_cfg, args)
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)

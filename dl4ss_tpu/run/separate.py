@@ -134,6 +134,13 @@ def main(argv=None):
         ck_cfg = load_cfg(args.checkpoint_dir)
         if ck_cfg is not None:
             cfg = apply_overrides(ck_cfg, args)
+    if args.speakers:
+        n_spk = len(args.speakers.split(","))
+        if n_spk != cfg.top_k:
+            raise SystemExit(
+                f"--speakers lists {n_spk} speakers but the model extracts "
+                f"top_k={cfg.top_k} channels; pass exactly {cfg.top_k} "
+                f"(or --set top_k={n_spk})")
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
@@ -158,14 +165,13 @@ def main(argv=None):
     # process in fixed-size batches (one compiled program regardless of how
     # many files are given; the last batch is padded up to the batch shape)
     bsz = min(cfg.batch_size, len(args.wavs))
+    recursive_jit = jax.jit(lambda pr, f: recursive_separate(pr, f, cfg))
 
     def run_batch(mix):
         spec = stft_cfg(mix, cfg)
         mag, phasor = magnitude_and_phase(spec)
         if args.mode == "recursive":
-            extracted, spk_steps = jax.jit(
-                lambda pr, f: recursive_separate(pr, f, cfg))(state.params,
-                                                              mag)
+            extracted, spk_steps = recursive_jit(state.params, mag)
             pred_spec = extracted * phasor[:, None]
             chosen = np.asarray(spk_steps)
         else:

@@ -129,6 +129,11 @@ def main(argv=None):
         bank, cfg, _ = load_bank(cfg, args)
     noise_bank = None
     if args.noise_wavs:
+        if args.list_dir or args.mode in ("memory", "video", "image-query"):
+            raise SystemExit(
+                "--noise-wavs is the bank-mode street-noise augment "
+                "(sample_mixtures, A5) — the list-driven and memory/query "
+                "paths do not mix noise; drop the flag or use bank mode")
         import os
         import jax.numpy as jnp
         from dl4ss_tpu.data.dirtree import _load_bank
@@ -247,11 +252,23 @@ def _run_memory_mode(cfg, bank, args):
             feats["query_image"] = qbank[b.spk_idx[:, 0], vi]
         return feats
 
+    init_state = None
+    if args.resume and args.checkpoint_dir:
+        from dl4ss_tpu.train.checkpoint import latest_step, restore_checkpoint
+        from dl4ss_tpu.train.memory_trainer import create_memory_state
+        if latest_step(args.checkpoint_dir) is not None:
+            template = create_memory_state(
+                jax.random.PRNGKey(args.seed), cfg, args.query_source,
+                args.epoch_size or cfg.epoch_size)
+            init_state = restore_checkpoint(args.checkpoint_dir, template)
+            print(f"resumed memory-mode step {int(init_state.step)} "
+                  f"from {args.checkpoint_dir}")
+
     dev = make_batch(jax.random.PRNGKey(args.seed + 13))
     state, history = memory_train_loop(
         cfg, make_batch, seed=args.seed, max_epochs=args.epochs,
         epoch_size=args.epoch_size, query_source=args.query_source,
-        patience=args.patience, dev_batch=dev)
+        patience=args.patience, dev_batch=dev, init_state=init_state)
     if history:
         print(f"dev-loss: first {history[0]:.4f} best {min(history):.4f} "
               f"({len(history)} epochs)")

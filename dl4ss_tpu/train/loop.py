@@ -75,8 +75,12 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
             seed, cfg.num_speakers, 4, cfg.max_len))
     key = jax.random.PRNGKey(seed)
     state = create_train_state(key, cfg, steps_per_epoch=epoch_size)
-    if resume and checkpoint_dir and os.path.isdir(checkpoint_dir):
-        state = restore_checkpoint(checkpoint_dir, state)
+    if resume and checkpoint_dir:
+        # a pre-created directory (vocab.json/cfg.json sidecars) is not a
+        # checkpoint — only resume when a saved step actually exists
+        from dl4ss_tpu.train.checkpoint import latest_step
+        if latest_step(checkpoint_dir) is not None:
+            state = restore_checkpoint(checkpoint_dir, state)
 
     # ---- device mesh (SURVEY §2.2): batch over `data`, embedding over
     # `model`, gradient all-reduce inserted by XLA and riding ICI ----

@@ -63,19 +63,22 @@ def init_memory_model(key, cfg: Config, query_source: str = "speech"):
     return params
 
 
+def _valid_frames(clean: jax.Array, cfg: Config) -> jax.Array:
+    """Non-silent frame mask: Masking(mask_value=0) for linear features,
+    MaskingGt(log(spacing(1)*2)) for log-spectral ones (nnet.py:43-47,
+    extend_layers.py:231-251)."""
+    if cfg.log_spectral:
+        import numpy as _np
+        floor = float(_np.log(_np.spacing(1) * 2))
+        return jnp.any(clean > floor, axis=-1)
+    return jnp.any(clean != 0.0, axis=-1)
+
+
 def _voiceprint(params, feats, cfg: Config, query_source: str):
     if query_source == "speech":
-        # masked mean over non-silent frames: Masking(mask_value=0) for
-        # linear features, MaskingGt(log(spacing(1)*2)) for log-spectral
-        # ones (nnet.py:43-47, extend_layers.py:231-251)
         clean = feats["clean_feas"]
-        if cfg.log_spectral:
-            import numpy as _np
-            floor = float(_np.log(_np.spacing(1) * 2))
-            valid = jnp.any(clean > floor, axis=-1)
-        else:
-            valid = jnp.any(clean != 0.0, axis=-1)
-        return apply_speech_query(params["speech_query"], clean, valid)
+        return apply_speech_query(params["speech_query"], clean,
+                                  _valid_frames(clean, cfg))
     return apply_image_query(params["image_query"], feats["query_image"])
 
 
@@ -147,9 +150,9 @@ def enroll(params, memory: MemorySlots, cfg: Config, spk_id: jax.Array,
     """Unknown-speaker enrollment (predict.py:160-180): run `supp_time`
     seconds of the speaker's clean audio through the voiceprint branch and
     write the result into their memory row."""
-    valid = jnp.any(enroll_feats != 0.0, axis=-1)
     if query_source == "speech":
-        vp = apply_speech_query(params["speech_query"], enroll_feats, valid)
+        vp = apply_speech_query(params["speech_query"], enroll_feats,
+                                _valid_frames(enroll_feats, cfg))
     else:
         vp = apply_image_query(params["image_query"], enroll_feats)
     return memory_write_slot(memory, spk_id, vp, _slot(query_source))
@@ -188,16 +191,19 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
                       epoch_size: Optional[int] = None,
                       query_source: str = "speech",
                       patience: int = 10,
-                      dev_batch: Optional[dict] = None):
+                      dev_batch: Optional[dict] = None,
+                      init_state=None):
     """Early-stopped training (nnet.py:149-172): per-epoch dev loss, stop
     after `patience` epochs without improvement, return the best params.
 
     make_batch(key) -> feats dict (mix_feas, mix_mag, spk_id, clean_feas or
-    query_image, target_mag)."""
+    query_image, target_mag). `init_state` resumes from a restored
+    TrainState instead of a fresh init."""
     epochs = max_epochs if max_epochs is not None else cfg.max_epoch
     esize = epoch_size if epoch_size is not None else cfg.epoch_size
-    state = create_memory_state(jax.random.PRNGKey(seed), cfg, query_source,
-                                esize)
+    state = (init_state if init_state is not None else
+             create_memory_state(jax.random.PRNGKey(seed), cfg, query_source,
+                                 esize))
     train_step = make_memory_train_step(cfg, query_source, esize)
     eval_step = make_memory_eval_step(cfg, query_source)
     best = (float("inf"), state.params, state.memory)

@@ -254,8 +254,19 @@ def make_adversarial_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
     spectra (dis-ss); pass feats["real_specs"] with different-utterance
     same-speaker spectra for dis-sp (predata_fromList_dis.py:37-66).
     """
+    if not cfg.ground_truth and cfg.loss_mode != "pit":
+        raise ValueError(
+            "ground_truth=False selects channels from the classifier — "
+            "identity assignment is ill-posed in the top-k layout; use "
+            "loss_mode='pit' (same constraint as make_train_step)")
     g_opt = make_optimizer(cfg, steps_per_epoch)
     d_opt = make_optimizer(cfg, steps_per_epoch)
+    # the adversarial generator loss carries its own sum-to-one term
+    # (weight 0.5 per the reference, main_run_sstune_dis.py:683-700) —
+    # strip it from _separation_loss so a nonzero cfg.sum_loss_weight
+    # is not double-counted
+    sum_w = cfg.sum_loss_weight if cfg.sum_loss_weight > 0 else 0.5
+    sep_cfg = cfg.replace(sum_loss_weight=0.0)
 
     @jax.jit
     def step(state: TrainState, feats) -> tuple:
@@ -288,12 +299,12 @@ def make_adversarial_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
         # ---- phase 2: generator ----
         def g_loss_fn(gp):
             p = dict(params, **gp)
-            mask_l, aux = _separation_loss(p, feats, cfg)
+            mask_l, aux = _separation_loss(p, feats, sep_cfg)
             pred = aux["out"].pred * live[..., None, None]
             score = apply_discriminator(
                 jax.lax.stop_gradient(p["discriminator"]), pred, cfg)
             sum_l = sum_to_one_loss(aux["out"].masks * live[..., None, None])
-            total = mask_l + 0.5 * sum_l + gan_g_loss(score)
+            total = mask_l + sum_w * sum_l + gan_g_loss(score)
             return total, (mask_l, sum_l)
 
         gp = _gen_params(params)
