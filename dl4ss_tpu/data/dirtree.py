@@ -43,25 +43,37 @@ def scan_speaker_tree(root, split: Optional[str] = None
     return out
 
 
-def _load_fixed(path, rate: int, num_samples: int) -> np.ndarray:
+def _load_fixed(path, rate: int, num_samples: int,
+                normalize: bool = False) -> np.ndarray:
     wav, sr = read_wav(path)
     if wav.ndim > 1:
         wav = wav[:, 0]
     wav = resample_poly_kaiser(wav, sr, rate)
     if len(wav) > num_samples:
         wav = wav[:num_samples]
-    elif len(wav) < num_samples:
+    if normalize:
+        # reference order: crop -> mean-sub -> peak-norm -> PAD
+        # (predata_fromList.py:140-176) — normalizing after zero-padding
+        # would leave a -mean DC offset in the padded tail
+        wav = wav - wav.mean()
+        wav = wav / max(float(np.abs(wav).max()), 1e-8)
+    if len(wav) < num_samples:
         wav = np.pad(wav, (0, num_samples - len(wav)))
     return wav.astype(np.float32)
 
 
-def _load_bank(paths, rate: int, num_samples: int) -> np.ndarray:
+def _load_bank(paths, rate: int, num_samples: int,
+               normalize: bool = True) -> np.ndarray:
     """(len(paths), num_samples) bank; native threaded C++ loader when built
-    (dl4ss_tpu/native/loader.cc), numpy fallback otherwise."""
+    (dl4ss_tpu/native/loader.cc), numpy fallback otherwise. Rows are
+    normalized BEFORE padding by default (so the device samplers'
+    normalize_utterance is an exact no-op on them)."""
     from dl4ss_tpu import native
     if native.available():
-        return native.load_batch(paths, rate, num_samples)
-    return np.stack([_load_fixed(p, rate, num_samples) for p in paths])
+        return native.load_batch(paths, rate, num_samples,
+                                 normalize=normalize)
+    return np.stack([_load_fixed(p, rate, num_samples, normalize=normalize)
+                     for p in paths])
 
 
 class DirTreeSampler:
@@ -118,15 +130,15 @@ class StreamingTreeSampler:
                     paths.append(wavs[self.rng.integers(len(wavs))])
             from dl4ss_tpu import native
             if native.available():
-                wavs = native.load_batch(paths, cfg.frame_rate, cfg.max_len)
+                wavs = native.load_batch(paths, cfg.frame_rate, cfg.max_len,
+                                         normalize=True)
             else:
-                wavs = np.stack([_load_fixed(p, cfg.frame_rate, cfg.max_len)
+                wavs = np.stack([_load_fixed(p, cfg.frame_rate, cfg.max_len,
+                                             normalize=True)
                                  for p in paths])
             wavs = wavs.reshape(batch_size, k, cfg.max_len)
-            # normalize + sum on host mirrors the device sampler's math
-            wavs = wavs - wavs.mean(axis=-1, keepdims=True)
-            peak = np.maximum(np.abs(wavs).max(axis=-1, keepdims=True), 1e-8)
-            wavs = wavs / peak
+            # rows arrive normalized pre-pad (reference order); re-applying
+            # mean-sub/peak-norm here would re-introduce the padded-tail DC
             yield {
                 "mix_wav": wavs.sum(axis=1).astype(np.float32),
                 "source_wavs": wavs.astype(np.float32),

@@ -32,6 +32,9 @@ class MixtureBatch(NamedTuple):
     source_wavs: jax.Array  # (B, K, N) gain-scaled sources (sum == mix)
     spk_idx: jax.Array      # (B, K) int32 speaker ids
     gains: jax.Array        # (B, K) linear per-channel gains
+    utt_idx: Optional[jax.Array] = None  # (B, K) per-speaker utterance row
+    # (bank-mode only; lets the dis-sp real pool exclude the mixed
+    # utterance, predata_fromList_dis.py:37-66)
 
 
 def normalize_utterance(wav: jax.Array, eps: float = 1e-8) -> jax.Array:
@@ -140,7 +143,7 @@ def sample_mixtures(key: jax.Array, bank: jax.Array, cfg: Config,
         mix = mix + cfg.bgd_noise_ratio * noise
 
     return MixtureBatch(mix_wav=mix, source_wavs=sources, spk_idx=spk_idx,
-                        gains=gains)
+                        gains=gains, utt_idx=utt_idx)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -205,6 +208,13 @@ def same_speaker_real_specs(key: jax.Array, batch: MixtureBatch,
     """
     b, k = batch.spk_idx.shape
     u = bank.shape[1]
-    utt = jax.random.randint(key, (b, k), 0, u)
+    if batch.utt_idx is not None and u > 1:
+        # a DIFFERENT utterance of the same speaker: draw an offset in
+        # [1, u-1] so the mixed utterance itself can never be the "real"
+        # sample (predata_fromList_dis.py:37-66)
+        off = jax.random.randint(key, (b, k), 1, u)
+        utt = (batch.utt_idx + off) % u
+    else:
+        utt = jax.random.randint(key, (b, k), 0, u)
     wavs = normalize_utterance(bank[batch.spk_idx, utt])
     return jnp.abs(stft_cfg(wavs, cfg))

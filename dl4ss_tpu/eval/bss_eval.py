@@ -66,13 +66,15 @@ def bss_eval_sources_numpy(ref: np.ndarray, est: np.ndarray,
     for j in range(k):
         e = np.zeros(n + flen - 1)
         e[:n] = est[j]
+        # the all-sources projection depends only on the estimate j —
+        # solve it once per j, not once per (j, i) pair
+        c_all, *_ = np.linalg.lstsq(all_mat, e, rcond=None)
+        p_all = all_mat @ c_all
+        e_artif = e - p_all
         for i in range(k):
             c_true, *_ = np.linalg.lstsq(delays[i], e, rcond=None)
             s_true = delays[i] @ c_true
-            c_all, *_ = np.linalg.lstsq(all_mat, e, rcond=None)
-            p_all = all_mat @ c_all
             e_interf = p_all - s_true
-            e_artif = e - p_all
             sdr[j, i] = 10 * np.log10(
                 np.sum(s_true ** 2) / np.sum((e_interf + e_artif) ** 2))
             sir[j, i] = 10 * np.log10(

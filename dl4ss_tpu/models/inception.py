@@ -47,13 +47,14 @@ def _pool(x, kind, window=3, stride=1, padding="SAME"):
         return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                                      (1, window, window, 1),
                                      (1, stride, stride, 1), padding)
-    ones = jax.lax.reduce_window(jnp.ones_like(x), 0.0, jax.lax.add,
-                                 (1, window, window, 1),
-                                 (1, stride, stride, 1), padding)
     summed = jax.lax.reduce_window(x, 0.0, jax.lax.add,
                                    (1, window, window, 1),
                                    (1, stride, stride, 1), padding)
-    return summed / ones
+    # torchvision's branch pools are F.avg_pool2d(count_include_pad=True):
+    # the divisor is ALWAYS window^2, including zero-padded border windows
+    # (dividing by the valid count instead skews every border activation
+    # and breaks .pth parity)
+    return summed / float(window * window)
 
 
 def _split(rng, n):

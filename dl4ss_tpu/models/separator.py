@@ -70,6 +70,17 @@ def _finish(params, cfg, emb_map, hidden, queries, feat, mix_ri, probs):
         # with the mixture spectrum (main_run_sstune_cRM_EvalVer.py:512,552-553)
         full_masks = crm_uncompress(masks, cfg.crm_k, cfg.crm_c)
         pred = complex_mask_apply(full_masks, mix_ri[:, None])
+    elif cfg.log_spectral:
+        # log features drive the mask, but the mask multiplies (and the
+        # loss/resynthesis compare) the LINEAR spectrum — output =
+        # mask (.) mix_spectrum (Cocktail nnet.py:95, predict.py:241-245)
+        if mix_ri is None:
+            raise ValueError(
+                "log_spectral separation needs mix_ri (the packed complex "
+                "mixture) to recover the linear magnitude the masks apply to")
+        from dl4ss_tpu.ops.crm import unpack_ri
+        mag = jnp.abs(unpack_ri(mix_ri)).astype(masks.dtype)
+        pred = masks * mag[:, None]
     else:
         pred = masks * feat[:, None]
     return SeparatorOutput(masks, pred, probs, hidden, queries)
@@ -139,6 +150,11 @@ def recursive_separate(params, feat: jax.Array, cfg: Config
             "reference's recursive drivers are magnitude-only too "
             "(main_run_multi_selfSS_recu.py:398-400). Use top-k mode for "
             "cRM models.")
+    if cfg.log_spectral:
+        raise ValueError(
+            "recursive extraction peels (1-mask)*residual in the LINEAR "
+            "magnitude domain; log-spectral features cannot be peeled "
+            "(the reference's recursive drivers are linear-only)")
     b, t, f = feat.shape
     s = cfg.num_speakers
 

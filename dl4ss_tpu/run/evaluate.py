@@ -164,9 +164,12 @@ def main(argv=None):
                                    out["pred_wavs"], flen=512)
             # dead (zero-gain) channels in variable-speaker configs score
             # ~-120 dB against a silent reference — mask them out, mirroring
-            # the SI-SDR path's channel_live handling (eval/sisdr.py:41-58)
+            # the SI-SDR path's channel_live handling (eval/sisdr.py:41-58).
+            # sdr[j] scores estimate j against source perm[j], so the live
+            # mask must be gathered through the chosen permutation
             live = np.asarray(feats["channel_live"]).astype(bool)
-            all_sdr.append(np.asarray(res.sdr)[live])
+            live_perm = np.take_along_axis(live, np.asarray(res.perm), axis=1)
+            all_sdr.append(np.asarray(res.sdr)[live_perm])
         if args.export_wavs and b == 0:
             names = [[idx2spk[int(s)] for s in row]
                      for row in np.asarray(batch.spk_idx)]

@@ -140,8 +140,10 @@ def main(argv=None):
         paths = sorted(os.path.join(args.noise_wavs, f)
                        for f in os.listdir(args.noise_wavs)
                        if f.lower().endswith(".wav"))
+        # noise wavs ride in RAW (the reference adds 0.3x the decoded noise
+        # wav, not a peak-normalized one — predata_multiAims_noisedB.py:198)
         noise_bank = jnp.asarray(_load_bank(paths, cfg.frame_rate,
-                                            cfg.max_len))
+                                            cfg.max_len, normalize=False))
         cfg = cfg.replace(add_bgd_noise=True)
     if (args.resume and args.checkpoint_dir and ck_cfg is not None
             and cfg.num_speakers != ck_cfg.num_speakers):

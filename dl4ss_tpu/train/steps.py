@@ -348,7 +348,10 @@ def make_eval_step(cfg: Config) -> Callable:
                            probs=out.probs.astype(jnp.float32))
         if complement_mask and not cfg.is_complex_mask and cfg.top_k == 2:
             one_spk = jnp.sum(out.probs > cfg.alpha, axis=-1) <= 1  # (B,)
-            comp = (1.0 - out.masks[:, 0]) * feats["mix_feas"]
+            # complement the LINEAR multiplicand (matches _finish's choice)
+            base = (jnp.abs(unpack_ri(feats["mix_ri"]))
+                    if cfg.log_spectral else feats["mix_feas"])
+            comp = (1.0 - out.masks[:, 0]) * base
             pred = out.pred.at[:, 1].set(
                 jnp.where(one_spk[:, None, None], comp, out.pred[:, 1]))
             out = out._replace(pred=pred)

@@ -252,3 +252,27 @@ def test_load_cfg_ignores_unknown_keys(tmp_path):
     (d / "cfg.json").write_text(json.dumps(raw))
     cfg = load_cfg(str(d))
     assert cfg is not None and cfg.name == "synth_tiny"
+
+
+def test_dis_sp_real_pool_excludes_mixed_utterance():
+    """The dis-sp 'real' example must be a DIFFERENT utterance of the same
+    speaker (predata_fromList_dis.py:37-66) — never the mixed one."""
+    import jax
+    import jax.numpy as jnp
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.data.synth import (make_synthetic_bank, sample_mixtures,
+                                      same_speaker_real_specs)
+    from dl4ss_tpu.ops.stft import stft_cfg
+    cfg = preset("synth_tiny")
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2,
+                                           cfg.max_len))
+    for seed in range(4):
+        b = sample_mixtures(jax.random.PRNGKey(seed), bank, cfg)
+        real = same_speaker_real_specs(jax.random.PRNGKey(seed + 9), b,
+                                       bank, cfg)
+        # with u=2 the only valid draw is the OTHER utterance
+        from dl4ss_tpu.data.synth import normalize_utterance
+        other = normalize_utterance(bank[b.spk_idx, 1 - b.utt_idx])
+        expect = jnp.abs(stft_cfg(other, cfg))
+        np.testing.assert_allclose(np.asarray(real), np.asarray(expect),
+                                   atol=1e-5)
