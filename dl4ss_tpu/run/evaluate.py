@@ -77,6 +77,17 @@ def main(argv=None):
         return _memory_eval(args)
 
     cfg = build_cfg(args)
+    ck_cfg = None
+    if args.checkpoint_dir:
+        # the FULL training config governs the eval state, protocol, AND
+        # audio geometry (max_len, frame geometry, log_spectral, ...), so
+        # it must be adopted BEFORE the eval data is built; CLI runtime
+        # overrides still win on top
+        from dl4ss_tpu.run.common import apply_overrides
+        from dl4ss_tpu.train.checkpoint import load_cfg
+        ck_cfg = load_cfg(args.checkpoint_dir)
+        if ck_cfg is not None:
+            cfg = apply_overrides(ck_cfg, args)
     list_batches = None
     if args.list_dir:
         # the reference's eval protocol: mean SDR over the official cv/tt
@@ -110,26 +121,19 @@ def main(argv=None):
     else:
         bank, cfg, idx2spk = load_bank(cfg, args)
         n_batches = args.batches
-    if args.checkpoint_dir:
-        # the FULL training config governs the eval state/protocol (model
-        # widths, mask head, top_k, log_spectral, ...), not just the
-        # speaker count — a checkpoint trained with non-preset overrides
-        # would otherwise fail deep inside orbax or silently evaluate a
-        # different protocol; CLI runtime overrides still win on top
-        from dl4ss_tpu.run.common import apply_overrides
-        from dl4ss_tpu.train.checkpoint import load_cfg
-        ck_cfg = load_cfg(args.checkpoint_dir)
-        if ck_cfg is not None:
-            data_speakers = (sampler.num_speakers if args.list_dir
-                             else cfg.num_speakers)
-            if data_speakers > ck_cfg.num_speakers:
-                raise SystemExit(
-                    f"the eval data references {data_speakers} speakers "
-                    f"but the checkpoint was trained with "
-                    f"{ck_cfg.num_speakers}; speaker ids past the trained "
-                    f"embedding rows would silently mis-evaluate — use the "
-                    f"training data/vocabulary or a matching checkpoint")
-            cfg = apply_overrides(ck_cfg, args)
+    if ck_cfg is not None:
+        # data with more speakers than the trained embedding table would
+        # silently mis-evaluate (the gather clamps out-of-range ids)
+        data_speakers = (sampler.num_speakers if args.list_dir
+                         else cfg.num_speakers)
+        if data_speakers > ck_cfg.num_speakers:
+            raise SystemExit(
+                f"the eval data references {data_speakers} speakers "
+                f"but the checkpoint was trained with "
+                f"{ck_cfg.num_speakers}; speaker ids past the trained "
+                f"embedding rows would silently mis-evaluate — use the "
+                f"training data/vocabulary or a matching checkpoint")
+        cfg = cfg.replace(num_speakers=ck_cfg.num_speakers)
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)

@@ -22,9 +22,9 @@ import numpy as np
 from dl4ss_tpu.data.resample import resample_poly_kaiser
 from dl4ss_tpu.data.wavio import read_wav, write_wav
 from dl4ss_tpu.models.separator import recursive_separate, separate
-from dl4ss_tpu.ops.crm import unpack_ri
+from dl4ss_tpu.ops.crm import pack_ri, unpack_ri
 from dl4ss_tpu.ops.stft import (istft_cfg, magnitude_and_phase,
-                                stft_cfg)
+                                spectral_feature_cfg)
 from dl4ss_tpu.run.common import add_common_args, build_cfg
 from dl4ss_tpu.train.checkpoint import restore_checkpoint
 from dl4ss_tpu.train.state import create_train_state
@@ -102,11 +102,17 @@ def separate_long(params, wav: np.ndarray, cfg, spk_idx=None,
 def _separate_chunk(params, chunk: np.ndarray, cfg, spk_idx=None):
     import jax.numpy as jnp
     mix = jnp.asarray(chunk)[None]
-    spec = stft_cfg(mix, cfg)
+    # features follow the TRAINING convention (log-spectral configs feed
+    # log features; the mask still applies to the linear spectrum)
+    feat, spec = spectral_feature_cfg(mix, cfg)
     mag, phasor = magnitude_and_phase(spec)
     idx = None if spk_idx is None else jnp.asarray(spk_idx)[None]
-    out = separate(params, mag, cfg, spk_idx=idx)
-    wavs = istft_cfg(out.pred * phasor[:, None], cfg, length=cfg.max_len)
+    out = separate(params, feat, cfg, spk_idx=idx, mix_ri=pack_ri(spec))
+    if cfg.is_complex_mask:
+        pred_spec = unpack_ri(out.pred)
+    else:
+        pred_spec = out.pred * phasor[:, None]
+    wavs = istft_cfg(pred_spec, cfg, length=cfg.max_len)
     return np.asarray(wavs[0])
 
 
@@ -135,12 +141,21 @@ def main(argv=None):
         if ck_cfg is not None:
             cfg = apply_overrides(ck_cfg, args)
     if args.speakers:
-        n_spk = len(args.speakers.split(","))
-        if n_spk != cfg.top_k:
+        if args.mode == "recursive":
             raise SystemExit(
-                f"--speakers lists {n_spk} speakers but the model extracts "
-                f"top_k={cfg.top_k} channels; pass exactly {cfg.top_k} "
-                f"(or --set top_k={n_spk})")
+                "--speakers is the teacher-forced top-k mode; recursive "
+                "mode selects speakers itself (one per peel step)")
+        idx = [int(x) for x in args.speakers.split(",")]
+        if len(idx) != cfg.top_k:
+            raise SystemExit(
+                f"--speakers lists {len(idx)} speakers but the model "
+                f"extracts top_k={cfg.top_k} channels; pass exactly "
+                f"{cfg.top_k} (or --set top_k={len(idx)})")
+        if min(idx) < 0 or max(idx) >= cfg.num_speakers:
+            raise SystemExit(
+                f"--speakers indices must be in [0, {cfg.num_speakers}); "
+                f"got {idx} (the embedding gather would silently clamp "
+                f"out-of-range ids)")
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
@@ -168,10 +183,10 @@ def main(argv=None):
     recursive_jit = jax.jit(lambda pr, f: recursive_separate(pr, f, cfg))
 
     def run_batch(mix):
-        spec = stft_cfg(mix, cfg)
+        feat, spec = spectral_feature_cfg(mix, cfg)
         mag, phasor = magnitude_and_phase(spec)
         if args.mode == "recursive":
-            extracted, spk_steps = recursive_jit(state.params, mag)
+            extracted, spk_steps = recursive_jit(state.params, feat)
             pred_spec = extracted * phasor[:, None]
             chosen = np.asarray(spk_steps)
         else:
@@ -180,9 +195,8 @@ def main(argv=None):
                 idx = [int(s) for s in args.speakers.split(",")]
                 spk_idx = jnp.tile(jnp.asarray(idx)[None, :],
                                    (mix.shape[0], 1))
-            out = separate(state.params, mag, cfg, spk_idx=spk_idx,
-                           mix_ri=jnp.stack([jnp.real(spec),
-                                             jnp.imag(spec)], -1))
+            out = separate(state.params, feat, cfg, spk_idx=spk_idx,
+                           mix_ri=pack_ri(spec))
             if cfg.is_complex_mask:
                 pred_spec = unpack_ri(out.pred)
             else:

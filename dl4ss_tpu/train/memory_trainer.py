@@ -209,7 +209,10 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
     best = (float("inf"), state.params, state.memory)
     bad_epochs = 0
     history = []
-    for epoch in range(epochs):
+    # resume accounting: a restored state's step counts toward the epoch
+    # budget (same convention as train_loop, loop.py)
+    start_epoch = int(state.step) // max(esize, 1)
+    for epoch in range(start_epoch, epochs):
         for _ in range(esize):
             rng, sub = jax.random.split(state.rng)
             feats = make_batch(sub)

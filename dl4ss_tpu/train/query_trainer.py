@@ -71,7 +71,8 @@ def make_query_train_step(cfg: Config, query_source: str = "video",
         def loss_fn(params):
             queries, logits = _queries_and_logits(params, feats, cfg,
                                                   query_source)
-            out = separate(params, feats["mix_feas"], cfg, queries=queries)
+            out = separate(params, feats["mix_feas"], cfg, queries=queries,
+                           mix_ri=feats.get("mix_ri"))
             pred = out.pred * live[..., None, None]
             if cfg.loss_mode == "pit":
                 mask_l, _ = pit_loss(pred, feats["src_feas"])
@@ -121,7 +122,8 @@ def make_query_eval_step(cfg: Config, query_source: str = "video") -> Callable:
     @jax.jit
     def step(params, feats):
         queries, _ = _queries_and_logits(params, feats, cfg, query_source)
-        out = separate(params, feats["mix_feas"], cfg, queries=queries)
+        out = separate(params, feats["mix_feas"], cfg, queries=queries,
+                       mix_ri=feats.get("mix_ri"))
         mix = unpack_ri(feats["mix_ri"])
         mag = jnp.abs(mix)
         phasor = mix / jnp.maximum(mag, 1e-8).astype(mix.dtype)
@@ -155,8 +157,10 @@ def query_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
     esize = epoch_size if epoch_size is not None else cfg.epoch_size
     state = create_query_state(jax.random.PRNGKey(seed), cfg, query_source,
                                esize, video_trunk, frame_hw)
-    if resume and checkpoint_dir and os.path.isdir(checkpoint_dir):
-        state = restore_checkpoint(checkpoint_dir, state)
+    if resume and checkpoint_dir:
+        from dl4ss_tpu.train.checkpoint import latest_step
+        if latest_step(checkpoint_dir) is not None:
+            state = restore_checkpoint(checkpoint_dir, state)
     train_step = make_query_train_step(cfg, query_source, esize)
     eval_step = make_query_eval_step(cfg, query_source)
     writer = MetricsWriter(metrics_path)
