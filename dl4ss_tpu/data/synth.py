@@ -146,6 +146,23 @@ def sample_mixtures(key: jax.Array, bank: jax.Array, cfg: Config,
                         gains=gains, utt_idx=utt_idx)
 
 
+def add_noise_to_mix(key: jax.Array, batch: MixtureBatch,
+                     noise_bank: jax.Array, cfg: Config) -> MixtureBatch:
+    """Eval-time background-noise add: 0.3x a randomly-circular-shifted
+    noise wav summed into the MIXTURE only — the model separates under
+    noise while the clean sources stay the scoring references
+    (Cocktail predict.py:152-158; the noisedB eval family,
+    predata_multiAims_noisedB.py:198-222)."""
+    b, n = batch.mix_wav.shape
+    k_nidx, k_nshift = jax.random.split(key)
+    nidx = jax.random.randint(k_nidx, (b,), 0, noise_bank.shape[0])
+    nshift = jax.random.randint(k_nshift, (b,), 0, noise_bank.shape[1])
+    noise = jax.vmap(lambda w, sh: jnp.roll(w, sh))(
+        noise_bank[nidx][:, :n], nshift)
+    return batch._replace(
+        mix_wav=batch.mix_wav + cfg.bgd_noise_ratio * noise)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def featurize(batch: MixtureBatch, cfg: Config):
     """Batch -> on-device features, mirroring the reference batch-dict keys

@@ -26,28 +26,41 @@ def export_batch_outputs(out_dir, mix_wavs: np.ndarray,
                          true_wavs: Optional[np.ndarray],
                          spk_names: Sequence[Sequence[str]],
                          rate: int = 8000, clean: bool = True,
-                         real_wavs: Optional[np.ndarray] = None) -> int:
-    """mix (B, N), pred/true (B, K, N), spk_names[b][k]. Returns #files."""
+                         real_wavs: Optional[np.ndarray] = None,
+                         idx_offset: int = 0,
+                         live: Optional[np.ndarray] = None) -> int:
+    """mix (B, N), pred (B, Kp, N), true/real (B, K, N), spk_names[b][k].
+    Returns #files. `idx_offset` shifts the mixture index so successive
+    batches land in one directory without colliding (pass clean=False for
+    batches after the first). pred may carry more channels than true/real
+    (recursive peel steps); extra pred channels are named by step. `live`
+    (B, K) skips the true/real wavs of dead (zero-gain) channels so
+    run.score never scores against a silent reference."""
     if clean and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     count = 0
-    b, k, _ = np.asarray(pred_wavs).shape
+    b, kp, _ = np.asarray(pred_wavs).shape
     for bi in range(b):
-        for ki in range(k):
-            spk = spk_names[bi][ki]
-            write_wav(os.path.join(out_dir, f"{bi}_{spk}_pre.wav"),
+        idx = bi + idx_offset
+        for ki in range(kp):
+            spk = (spk_names[bi][ki] if ki < len(spk_names[bi])
+                   else f"step{ki}")
+            write_wav(os.path.join(out_dir, f"{idx}_{spk}_pre.wav"),
                       np.asarray(pred_wavs[bi, ki]), rate)
             count += 1
-            if true_wavs is not None:
-                write_wav(os.path.join(out_dir, f"{bi}_{spk}_genTrue.wav"),
+            ref_live = live is None or (ki < live.shape[1] and live[bi, ki])
+            if not ref_live:
+                continue
+            if true_wavs is not None and ki < np.asarray(true_wavs).shape[1]:
+                write_wav(os.path.join(out_dir, f"{idx}_{spk}_genTrue.wav"),
                           np.asarray(true_wavs[bi, ki]), rate)
                 count += 1
-            if real_wavs is not None:
-                write_wav(os.path.join(out_dir, f"{bi}_{spk}_realTrue.wav"),
+            if real_wavs is not None and ki < np.asarray(real_wavs).shape[1]:
+                write_wav(os.path.join(out_dir, f"{idx}_{spk}_realTrue.wav"),
                           np.asarray(real_wavs[bi, ki]), rate)
                 count += 1
-        write_wav(os.path.join(out_dir, f"{bi}_True_mix.wav"),
+        write_wav(os.path.join(out_dir, f"{idx}_True_mix.wav"),
                   np.asarray(mix_wavs[bi]), rate)
         count += 1
     return count

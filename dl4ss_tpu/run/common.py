@@ -49,7 +49,25 @@ def apply_overrides(cfg: Config, args) -> Config:
 
 
 def build_cfg(args) -> Config:
-    return apply_overrides(preset(args.preset), args)
+    # .validate() enforces the mode <-> dataset contract at every CLI
+    # entry (the reference calls valid_mode_dataset at import,
+    # Torch_multi/config.py:16-27)
+    return apply_overrides(preset(args.preset), args).validate()
+
+
+def load_noise_bank(noise_dir: str, cfg: Config):
+    """Background-noise wavs, loaded RAW (the reference adds 0.3x the
+    decoded noise wav, not a peak-normalized one —
+    predata_multiAims_noisedB.py:198)."""
+    import os
+    from dl4ss_tpu.data.dirtree import _load_bank
+    paths = sorted(os.path.join(noise_dir, f)
+                   for f in os.listdir(noise_dir)
+                   if f.lower().endswith(".wav"))
+    if not paths:
+        raise SystemExit(f"no .wav files under {noise_dir}")
+    return jnp.asarray(_load_bank(paths, cfg.frame_rate, cfg.max_len,
+                                  normalize=False))
 
 
 def load_bank(cfg: Config, args, utts_per_speaker: int = 8):

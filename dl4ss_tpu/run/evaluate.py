@@ -29,10 +29,13 @@ def main(argv=None):
     p = add_common_args(argparse.ArgumentParser(description=__doc__))
     p.add_argument("--batches", type=int, default=4)
     p.add_argument("--mode", default="separate",
-                   choices=["separate", "memory"],
+                   choices=["separate", "recursive", "memory"],
                    help="memory = Cocktail/Multi_modal target extraction "
                         "driven by the life-long speaker memory (C6), with "
-                        "optional unknown-speaker enrollment")
+                        "optional unknown-speaker enrollment; recursive = "
+                        "peel-and-subtract extraction scored per step (the "
+                        "RecuVer protocol, "
+                        "main_run_multi_selfSS_recu.py:341-409)")
     p.add_argument("--query-source", default="speech",
                    choices=["speech", "image"],
                    help="memory mode: which modality trained the memory")
@@ -70,11 +73,29 @@ def main(argv=None):
                         "1 - mask_1 when the classifier sees one speaker "
                         "(TestVer:473-476)")
     p.add_argument("--export-wavs", default=None,
-                   help="directory for batch_output-style wav dumps")
+                   help="directory for batch_output-style wav dumps "
+                        "(scoreable with run.score, the bss_test.cal "
+                        "rebuild)")
+    p.add_argument("--oracle", default=None, choices=["iam", "irm"],
+                   help="also report the oracle-mask SI-SDR bound of the "
+                        "eval data (ideal amplitude / ratio mask) so the "
+                        "learned score is interpretable against its "
+                        "ceiling")
+    p.add_argument("--noise-wavs", default=None,
+                   help="directory of background-noise wavs added to the "
+                        "eval mixtures before scoring (predict.py:152-158; "
+                        "the noisedB eval condition) — sources stay the "
+                        "clean references")
     args = p.parse_args(argv)
 
     if args.mode == "memory":
         return _memory_eval(args)
+    if args.mode == "recursive" and (args.dedup or args.teacher_forced
+                                     or args.complement_mask):
+        raise SystemExit(
+            "--mode recursive selects one speaker per peel step itself; "
+            "--dedup/--teacher-forced/--complement-mask apply to the "
+            "simultaneous top-k evaluator only")
 
     cfg = build_cfg(args)
     ck_cfg = None
@@ -138,9 +159,18 @@ def main(argv=None):
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
         print(f"restored step {int(state.step)} from {args.checkpoint_dir}")
-    ev = make_eval_step(cfg)
+    if args.mode == "recursive":
+        from dl4ss_tpu.train.steps import make_recursive_eval_step
+        ev = make_recursive_eval_step(cfg)
+    else:
+        ev = make_eval_step(cfg)
+    noise_bank = None
+    if args.noise_wavs:
+        from dl4ss_tpu.run.common import load_noise_bank
+        noise_bank = load_noise_bank(args.noise_wavs, cfg)
 
-    all_sisdr, all_sdr = [], []
+    all_sisdr, all_sdr, all_oracle = [], [], []
+    hits, hit_total = 0, 0
     key = jax.random.PRNGKey(args.seed + 1)
     for b in range(n_batches):
         if list_batches is not None:
@@ -148,8 +178,28 @@ def main(argv=None):
         else:
             key, sub = jax.random.split(key)
             batch = sample_mixtures(sub, bank, cfg, train=False)
+        if noise_bank is not None:
+            from dl4ss_tpu.data.synth import add_noise_to_mix
+            key, kn = jax.random.split(key)
+            batch = add_noise_to_mix(kn, batch, noise_bank, cfg)
         feats = featurize(batch, cfg)
-        if args.dedup:
+        if args.oracle:
+            from dl4ss_tpu.eval.oracle import oracle_mask_sisdr
+            ob = oracle_mask_sisdr(batch.mix_wav, batch.source_wavs, cfg,
+                                   kind=args.oracle,
+                                   live=(batch.gains > 0))
+            all_oracle.append(np.asarray(ob))
+        if args.mode == "recursive":
+            out = ev(state.params, feats)
+            # speaker hit rate: did the peel loop recover the true set?
+            chosen = np.asarray(out["spk_steps"])
+            true_idx = np.asarray(batch.spk_idx)
+            live = np.asarray(batch.gains > 0)
+            for bi in range(true_idx.shape[0]):
+                tset = set(true_idx[bi][live[bi]].tolist())
+                hits += len(tset & set(chosen[bi].tolist()))
+                hit_total += len(tset)
+        elif args.dedup:
             from dl4ss_tpu.models.separator import classify_speakers
             from dl4ss_tpu.objectives.select import cosine_dedup_select
             probs = classify_speakers(state.params, feats["mix_feas"], cfg)
@@ -164,6 +214,14 @@ def main(argv=None):
                      complement_mask=args.complement_mask)
         all_sisdr.append(np.asarray(out["si_sdr"]))
         if args.bss_eval:
+            k_ref = feats["source_wavs"].shape[1]
+            if out["pred_wavs"].shape[1] != k_ref:
+                raise SystemExit(
+                    f"--bss-eval needs square channel counts; recursive "
+                    f"ran {out['pred_wavs'].shape[1]} peel steps vs "
+                    f"{k_ref} reference channels — set "
+                    f"recursive_max_steps={k_ref} (or score an exported "
+                    f"directory with run.score --pad-silent)")
             res = bss_eval_sources(feats["source_wavs"],
                                    out["pred_wavs"], flen=512)
             # dead (zero-gain) channels in variable-speaker configs score
@@ -174,17 +232,33 @@ def main(argv=None):
             live = np.asarray(feats["channel_live"]).astype(bool)
             live_perm = np.take_along_axis(live, np.asarray(res.perm), axis=1)
             all_sdr.append(np.asarray(res.sdr)[live_perm])
-        if args.export_wavs and b == 0:
+        if args.export_wavs:
+            # every batch is exported (idx offset by batch) so run.score
+            # over the directory reproduces the reference's per-epoch
+            # bss_test.cal protocol (main_run_multi_selfSS_recu.py:408-409)
             names = [[idx2spk[int(s)] for s in row]
                      for row in np.asarray(batch.spk_idx)]
             n = export_batch_outputs(
                 args.export_wavs, np.asarray(batch.mix_wav),
                 np.asarray(out["pred_wavs"]),
-                np.asarray(batch.source_wavs), names, cfg.frame_rate)
-            print(f"exported {n} wavs to {args.export_wavs}/")
+                None, names, cfg.frame_rate, clean=(b == 0),
+                real_wavs=np.asarray(batch.source_wavs),
+                idx_offset=b * batch.mix_wav.shape[0],
+                live=np.asarray(batch.gains > 0))
+            if b == n_batches - 1:
+                print(f"exported wavs for {n_batches} batches to "
+                      f"{args.export_wavs}/ (score with "
+                      f"python -m dl4ss_tpu.run.score {args.export_wavs})")
 
     sisdr = float(np.mean(np.concatenate(all_sisdr)))
     print(f"SI-SDR over {n_batches} batches: {sisdr:.2f} dB")
+    if all_oracle:
+        ob = float(np.mean(np.concatenate(all_oracle)))
+        print(f"oracle {args.oracle.upper()} bound: {ob:.2f} dB "
+              f"(gap {ob - sisdr:.2f} dB)")
+    if args.mode == "recursive" and hit_total:
+        print(f"speaker hit rate: {hits}/{hit_total} "
+              f"({100.0 * hits / hit_total:.1f}%)")
     if all_sdr:
         print(f"BSS-Eval SDR: {float(np.mean(np.concatenate(all_sdr))):.2f} dB")
     return sisdr

@@ -90,6 +90,13 @@ def main(argv=None):
         dp = (len(jax.devices()) // mp if args.dp in (None, "auto")
               else int(args.dp))
         cfg = cfg.replace(dp_size=max(dp, 1), mp_size=mp)
+    # the trainer family fixes the query modality: rebind cfg.mode and
+    # re-check the dataset against it (MODE 1-4, Torch_multi/config.py:66-76)
+    want_mode = {"video": "video", "image-query": "image"}.get(args.mode)
+    if args.mode == "memory":
+        want_mode = "image" if args.query_source == "image" else "speech"
+    if want_mode is not None and cfg.mode != want_mode:
+        cfg = cfg.replace(mode=want_mode).validate()
     if args.mode == "adversarial":
         cfg = cfg.replace(use_discriminator=True)
     sampler = eval_batch = None
@@ -134,16 +141,8 @@ def main(argv=None):
                 "--noise-wavs is the bank-mode street-noise augment "
                 "(sample_mixtures, A5) — the list-driven and memory/query "
                 "paths do not mix noise; drop the flag or use bank mode")
-        import os
-        import jax.numpy as jnp
-        from dl4ss_tpu.data.dirtree import _load_bank
-        paths = sorted(os.path.join(args.noise_wavs, f)
-                       for f in os.listdir(args.noise_wavs)
-                       if f.lower().endswith(".wav"))
-        # noise wavs ride in RAW (the reference adds 0.3x the decoded noise
-        # wav, not a peak-normalized one — predata_multiAims_noisedB.py:198)
-        noise_bank = jnp.asarray(_load_bank(paths, cfg.frame_rate,
-                                            cfg.max_len, normalize=False))
+        from dl4ss_tpu.run.common import load_noise_bank
+        noise_bank = load_noise_bank(args.noise_wavs, cfg)
         cfg = cfg.replace(add_bgd_noise=True)
     if (args.resume and args.checkpoint_dir and ck_cfg is not None
             and cfg.num_speakers != ck_cfg.num_speakers):

