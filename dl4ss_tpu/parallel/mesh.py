@@ -28,6 +28,24 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
     return Mesh(use, axis_names=("data", "model"))
 
 
+def mesh_for_cfg(cfg) -> Optional[Mesh]:
+    """Validated (data, model) mesh from cfg.dp_size/mp_size — None on a
+    1x1 layout. The shared gate every trainer (joint/adversarial/classifier
+    AND memory/query) uses, so `--dp` is never a silently-inert flag."""
+    if cfg.dp_size * cfg.mp_size <= 1:
+        return None
+    n_dev = len(jax.devices())
+    if cfg.dp_size * cfg.mp_size > n_dev:
+        raise ValueError(
+            f"dp_size*mp_size = {cfg.dp_size}*{cfg.mp_size} exceeds the "
+            f"{n_dev} available device(s)")
+    if cfg.batch_size % cfg.dp_size:
+        raise ValueError(
+            f"dp_size={cfg.dp_size} must divide batch_size="
+            f"{cfg.batch_size} for even batch sharding")
+    return make_mesh(dp=cfg.dp_size, mp=cfg.mp_size)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis over the data axis; everything else replicated."""
     return NamedSharding(mesh, P("data"))

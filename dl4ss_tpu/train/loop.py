@@ -18,7 +18,7 @@ import numpy as np
 
 from dl4ss_tpu.config import Config
 from dl4ss_tpu.data.synth import featurize, make_synthetic_bank, sample_mixtures
-from dl4ss_tpu.parallel.mesh import (make_mesh, replicated, shard_batch,
+from dl4ss_tpu.parallel.mesh import (mesh_for_cfg, replicated, shard_batch,
                                      shard_state)
 from dl4ss_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from dl4ss_tpu.train.metrics import MetricsWriter
@@ -84,18 +84,8 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
 
     # ---- device mesh (SURVEY §2.2): batch over `data`, embedding over
     # `model`, gradient all-reduce inserted by XLA and riding ICI ----
-    mesh = None
-    if cfg.dp_size * cfg.mp_size > 1:
-        n_dev = len(jax.devices())
-        if cfg.dp_size * cfg.mp_size > n_dev:
-            raise ValueError(
-                f"dp_size*mp_size = {cfg.dp_size}*{cfg.mp_size} exceeds the "
-                f"{n_dev} available device(s)")
-        if cfg.batch_size % cfg.dp_size:
-            raise ValueError(
-                f"dp_size={cfg.dp_size} must divide batch_size="
-                f"{cfg.batch_size} for even batch sharding")
-        mesh = make_mesh(dp=cfg.dp_size, mp=cfg.mp_size)
+    mesh = mesh_for_cfg(cfg)
+    if mesh is not None:
         state = shard_state(state, mesh)
         if bank is not None:
             bank = jax.device_put(bank, replicated(mesh))

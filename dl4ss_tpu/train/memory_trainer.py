@@ -199,11 +199,22 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
     make_batch(key) -> feats dict (mix_feas, mix_mag, spk_id, clean_feas or
     query_image, target_mag). `init_state` resumes from a restored
     TrainState instead of a fresh init."""
+    import contextlib
+
+    from dl4ss_tpu.parallel.mesh import mesh_for_cfg, shard_batch, shard_state
+
     epochs = max_epochs if max_epochs is not None else cfg.max_epoch
     esize = epoch_size if epoch_size is not None else cfg.epoch_size
     state = (init_state if init_state is not None else
              create_memory_state(jax.random.PRNGKey(seed), cfg, query_source,
                                  esize))
+    # DP mesh (same contract as train_loop, loop.py): batches shard over
+    # `data`, params/memory replicate, XLA all-reduces the grads over ICI
+    mesh = mesh_for_cfg(cfg)
+    if mesh is not None:
+        state = shard_state(state, mesh)
+        if dev_batch is not None:
+            dev_batch = shard_batch(dev_batch, mesh)
     train_step = make_memory_train_step(cfg, query_source, esize)
     eval_step = make_memory_eval_step(cfg, query_source)
     best = (float("inf"), state.params, state.memory)
@@ -212,22 +223,27 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
     # resume accounting: a restored state's step counts toward the epoch
     # budget (same convention as train_loop, loop.py)
     start_epoch = int(state.step) // max(esize, 1)
-    for epoch in range(start_epoch, epochs):
-        for _ in range(esize):
-            rng, sub = jax.random.split(state.rng)
-            feats = make_batch(sub)
-            state, m = train_step(state._replace(rng=rng), feats)
-        if dev_batch is not None:
-            dev = float(eval_step(state.params, state.memory,
-                                  dev_batch)["loss"])
-            history.append(dev)
-            if dev < best[0]:
-                best = (dev, state.params, state.memory)
-                bad_epochs = 0
-            else:
-                bad_epochs += 1
-                if bad_epochs >= patience:
-                    break
+    mesh_ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
+                else contextlib.nullcontext())
+    with mesh_ctx:
+        for epoch in range(start_epoch, epochs):
+            for _ in range(esize):
+                rng, sub = jax.random.split(state.rng)
+                feats = make_batch(sub)
+                if mesh is not None:
+                    feats = shard_batch(feats, mesh)
+                state, m = train_step(state._replace(rng=rng), feats)
+            if dev_batch is not None:
+                dev = float(eval_step(state.params, state.memory,
+                                      dev_batch)["loss"])
+                history.append(dev)
+                if dev < best[0]:
+                    best = (dev, state.params, state.memory)
+                    bad_epochs = 0
+                else:
+                    bad_epochs += 1
+                    if bad_epochs >= patience:
+                        break
     if dev_batch is not None and best[0] < float("inf"):
         state = state._replace(params=best[1], memory=best[2])
     return state, history

@@ -153,6 +153,10 @@ def query_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
     from dl4ss_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
     from dl4ss_tpu.train.metrics import MetricsWriter
 
+    import contextlib
+
+    from dl4ss_tpu.parallel.mesh import mesh_for_cfg, shard_batch, shard_state
+
     epochs = max_epochs if max_epochs is not None else cfg.max_epoch
     esize = epoch_size if epoch_size is not None else cfg.epoch_size
     state = create_query_state(jax.random.PRNGKey(seed), cfg, query_source,
@@ -161,6 +165,13 @@ def query_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
         from dl4ss_tpu.train.checkpoint import latest_step
         if latest_step(checkpoint_dir) is not None:
             state = restore_checkpoint(checkpoint_dir, state)
+    # DP mesh (same contract as train_loop, loop.py): batches shard over
+    # `data`, params replicate, grad all-reduce inserted by XLA
+    mesh = mesh_for_cfg(cfg)
+    if mesh is not None:
+        state = shard_state(state, mesh)
+        if dev_batch is not None:
+            dev_batch = shard_batch(dev_batch, mesh)
     train_step = make_query_train_step(cfg, query_source, esize)
     eval_step = make_query_eval_step(cfg, query_source)
     writer = MetricsWriter(metrics_path)
@@ -168,21 +179,27 @@ def query_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
     start_epoch = int(state.step) // max(esize, 1)
     metrics = {}
     saved_step = -1
-    for epoch in range(start_epoch, epochs):
-        for _ in range(esize):
-            rng, sub = jax.random.split(state.rng)
-            feats = make_batch(sub)
-            state, metrics = train_step(state._replace(rng=rng), feats)
-        row = {k: v for k, v in metrics.items()}
-        if dev_batch is not None and eval_every \
-                and (epoch + 1) % eval_every == 0:
-            ev = eval_step(state.params, dev_batch)
-            sdr = float(jnp.mean(ev["si_sdr"]))
-            sdr_history.append(sdr)
-            row["si_sdr"] = sdr
-        writer.write("epoch", int(state.step), epoch=epoch, **row)
-        if checkpoint_dir and (epoch + 1) % cfg.checkpoint_every_epochs == 0:
-            saved_step = save_checkpoint(checkpoint_dir, state, cfg=cfg)
+    mesh_ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
+                else contextlib.nullcontext())
+    with mesh_ctx:
+        for epoch in range(start_epoch, epochs):
+            for _ in range(esize):
+                rng, sub = jax.random.split(state.rng)
+                feats = make_batch(sub)
+                if mesh is not None:
+                    feats = shard_batch(feats, mesh)
+                state, metrics = train_step(state._replace(rng=rng), feats)
+            row = {k: v for k, v in metrics.items()}
+            if dev_batch is not None and eval_every \
+                    and (epoch + 1) % eval_every == 0:
+                ev = eval_step(state.params, dev_batch)
+                sdr = float(jnp.mean(ev["si_sdr"]))
+                sdr_history.append(sdr)
+                row["si_sdr"] = sdr
+            writer.write("epoch", int(state.step), epoch=epoch, **row)
+            if checkpoint_dir \
+                    and (epoch + 1) % cfg.checkpoint_every_epochs == 0:
+                saved_step = save_checkpoint(checkpoint_dir, state, cfg=cfg)
     if checkpoint_dir and int(state.step) != saved_step:
         save_checkpoint(checkpoint_dir, state, cfg=cfg)
     writer.close()
