@@ -135,6 +135,32 @@ class Config:
         """Mask-head query width: doubled for cRM (SPEECH_EMBEDDING cRM fork)."""
         return self.embedding_size * (2 if self.is_complex_mask else 1)
 
+    def validate(self) -> "Config":
+        """Mode <-> dataset consistency (the reference's valid_mode_dataset,
+        Torch_multi/config.py:16-27) plus basic geometry sanity. Returns
+        self so call sites can chain. Raises ValueError on conflicts."""
+        allowed = {
+            "speech": ("WSJ0", "THCHS-30", "TIMIT", "synth"),
+            "image": ("MNIST", "synth"),
+            "video": ("GRID", "AVA", "synth"),
+            "topdown": ("WSJ0", "THCHS-30", "TIMIT", "synth"),
+        }
+        if self.mode not in allowed:
+            raise ValueError(f"unknown mode {self.mode!r}; one of "
+                             f"{sorted(allowed)}")
+        if self.dataset not in allowed[self.mode]:
+            raise ValueError(
+                f"dataset {self.dataset!r} is not a {self.mode} dataset "
+                f"(expected one of {allowed[self.mode]}; "
+                f"valid_mode_dataset, Torch_multi/config.py:16-27)")
+        if self.min_mix > self.max_mix:
+            raise ValueError(f"min_mix={self.min_mix} > max_mix="
+                             f"{self.max_mix}")
+        if self.top_k < 1 or self.frame_shift > self.frame_length:
+            raise ValueError("top_k must be >=1 and frame_shift must not "
+                             "exceed frame_length")
+        return self
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 

@@ -115,15 +115,18 @@ def apply_video_query(params, frames: jax.Array
     """frames (B, T, H, W, 3) -> (speaker logits (B, S), query (B, E)).
 
     Mirrors VIDEO_QUERY.forward: frame features -> BiLSTM -> last timestep
-    -> Dense(E) -> (logits, hidden query) (main_run.py:246-256). The trunk
-    is frozen in the reference; freeze here by stop_gradient on its params
-    at the call site when reproducing that setup.
+    -> Dense(E) -> (logits, hidden query) (main_run.py:246-256). The
+    Inception trunk is FROZEN, exactly as the reference keeps its
+    pretrained Inception-v3 fixed (main_run.py:232-243): its params are
+    stop-gradiented here, so only the BiLSTM/Dense head trains.
     """
     b, t = frames.shape[:2]
     x = frames.reshape((b * t,) + frames.shape[2:])
     if "inception" in params:
         from dl4ss_tpu.models.inception import apply_inception_v3
-        _, _, x = apply_inception_v3(params["inception"], x)
+        frozen = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                        params["inception"])
+        _, _, x = apply_inception_v3(frozen, x)
     else:
         # SAME padding keeps small lip crops (16x16 up) from collapsing to
         # zero spatial size before the global pool

@@ -29,22 +29,69 @@ def main(argv=None):
     p.add_argument("--epoch-size", type=int, default=None)
     p.add_argument("--eval-batches", type=int, default=4)
     p.add_argument("--topk", type=int, default=3)
+    p.add_argument("--list-dir", default=None,
+                   help="official wsj0-mix list directory: train from the "
+                        "tr lists and report the metric suite over the cv "
+                        "(or tt) lists under the TRAIN vocabulary — the "
+                        "list-fed classifier fork "
+                        "(TDAA_beta/test_multi_labels_speech.py)")
+    p.add_argument("--wav-root", default=None,
+                   help="root the list wav paths are relative to")
+    p.add_argument("--eval-split", default="valid",
+                   help="list mode: split scored by the metric report "
+                        "(valid | test | train)")
+    p.add_argument("--mix-k", default="2",
+                   help="mixture speaker count(s), comma-separated")
     args = p.parse_args(argv)
 
     cfg = build_cfg(args)
-    bank, cfg, _ = load_bank(cfg, args)
+    sampler = eval_iter = None
+    if args.list_dir:
+        import os
+        from dl4ss_tpu.data.listsampler import Wsj0MixSampler
+        from dl4ss_tpu.data.wsj0mix import mix_list_name
+        root = args.wav_root or "."
+        mix_ks = tuple(int(x) for x in str(args.mix_k).split(","))
+        sampler = Wsj0MixSampler(args.list_dir, root, cfg, args.split,
+                                 mix_ks=mix_ks)
+        cfg = cfg.replace(num_speakers=sampler.num_speakers)
+        bank = None
+        # metric split under the TRAIN vocabulary (speaker -> label column
+        # is an artifact of the tr lists; unknown cv/tt speakers would
+        # otherwise re-number the label space)
+        ev_split = args.eval_split
+        if not any(os.path.exists(os.path.join(args.list_dir,
+                                               mix_list_name(k, ev_split)))
+                   for k in mix_ks):
+            ev_split = args.split
+        ev_sampler = Wsj0MixSampler(args.list_dir, root, cfg, ev_split,
+                                    mix_ks=mix_ks, spk2idx=sampler.spk2idx)
+        n_ev = min(args.eval_batches,
+                   ev_sampler.num_batches(cfg.batch_size_eval))
+        if n_ev == 0:
+            raise SystemExit(
+                f"the {ev_split} lists form no full batch at "
+                f"batch_size_eval={cfg.batch_size_eval}")
+        eval_iter = ev_sampler.batches(cfg.batch_size_eval, shuffle=False)
+        args.eval_batches = n_ev
+    else:
+        bank, cfg, _ = load_bank(cfg, args)
     state, _ = train_loop(cfg, bank=bank, max_epochs=args.epochs,
                           epoch_size=args.epoch_size, seed=args.seed,
                           mode="classifier", metrics_path=args.metrics,
-                          checkpoint_dir=args.checkpoint_dir, eval_every=0)
+                          checkpoint_dir=args.checkpoint_dir, eval_every=0,
+                          sampler=sampler)
 
     # held-out metrics (the test_multi_labels_speech_metrics.py report)
     probs_all, targets_all = [], []
     key = jax.random.PRNGKey(args.seed + 7)
     infer = jax.jit(lambda pr, f: apply_classifier(pr["classifier"], f, cfg))
     for _ in range(args.eval_batches):
-        key, sub = jax.random.split(key)
-        batch = sample_mixtures(sub, bank, cfg, train=False)
+        if eval_iter is not None:
+            batch = next(eval_iter)
+        else:
+            key, sub = jax.random.split(key)
+            batch = sample_mixtures(sub, bank, cfg, train=False)
         feats = featurize(batch, cfg)
         probs = np.asarray(infer(state.params, feats["mix_feas"]))
         target = np.zeros_like(probs)
