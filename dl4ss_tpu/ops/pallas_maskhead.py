@@ -1,0 +1,147 @@
+"""Fused projection + dot-attention mask head (Pallas).
+
+The encoder's Dense(2H -> F*E) + tanh and the dot mask head
+sigmoid(<emb_map, query>) together are ~47% of headline inference time
+(docs/BENCHMARKS.md round-3 stage profile): the XLA path materializes the
+(B, T, F, E) embedding grid in HBM (~775 MB at B=192) between two
+contractions, because XLA cannot fuse through a matmul boundary. This
+kernel computes, per (batch, time-tile) grid cell, entirely in VMEM:
+
+    acc  = h_tile @ W + b          (Tt, F*E)   MXU, f32 accumulate
+    g    = tanh(acc)                           VPU
+    e_k  = (g * qrep_k) @ S        (Tt, F)     MXU block-sum over E
+    mask = sigmoid(e_k)                        -> (B, K, Tt, F)
+
+where qrep_k is the query q_k tiled F times (column f*E+e holds q_k[e])
+and S is the 0/1 block-sum matrix S[f*E+e, f'] = [f == f'], so the E
+contraction of einsum("btfe,bke->bktf") (models/attention.py:38-41,
+rebuilding ATTENTION 'dot', Torch_multi/main_run.py:201-210) becomes one
+MXU matmul — Mosaic's 128-aligned-lane rule forbids slicing the (Tt, F*E)
+accumulator into E-wide pieces directly.
+
+The embedding grid never touches HBM: traffic drops from
+read(h) + write(emb) + read(emb) + write(masks) to read(h) + write(masks).
+W rides in VMEM as a whole-array block and stays resident across the grid.
+
+Backward: recompute-based custom VJP (the XLA reference implementation is
+re-differentiated in the backward pass). Training thus pays one extra
+fused forward but stores 25x less activation memory (masks instead of the
+embedding grid), and inference — the throughput headline — takes the
+fused path outright.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# time-tile: swept on v5e at the reference shape (docs/BENCHMARKS.md r3):
+# 64 -> 6.55 ms, 128 -> 7.43 ms, 160 -> 6.47 ms for the B=192 stage
+# (XLA path: 8.24 ms); 160 divides the padded T=320 evenly and won
+_TILE_T = 160
+
+
+def _kernel(h_ref, w_ref, b_ref, qrep_ref, s_ref, out_ref, *, k: int):
+    h = h_ref[0]                                          # (Tt, 2H)
+    acc = jnp.dot(h, w_ref[...], preferred_element_type=jnp.float32)
+    g = jnp.tanh(acc + b_ref[...])                        # (Tt, F*E) f32
+    for ki in range(k):                                   # static K unroll
+        q = qrep_ref[0, ki][None, :].astype(jnp.float32)  # (1, F*E)
+        gk = (g * q).astype(s_ref.dtype)
+        e = jnp.dot(gk, s_ref[...], preferred_element_type=jnp.float32)
+        out_ref[0, ki] = jax.nn.sigmoid(e).astype(out_ref.dtype)
+
+
+def _block_sum_matrix(fe: int, emb: int, f: int, dtype):
+    """(F*E, F) 0/1 matrix generated ON DEVICE from iota — a host-side
+    constant this size would be inlined into the jit MLIR (multi-MB
+    constants cost minutes of remote compile, verify SKILL.md)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (fe, f), 0) // emb
+    cols = jax.lax.broadcasted_iota(jnp.int32, (fe, f), 1)
+    return (rows == cols).astype(dtype)
+
+
+def _reference_impl(hidden, w, b, queries, freq_bins, emb):
+    """The exact XLA computation this kernel replaces (encoder proj +
+    _dot_energy + sigmoid); also the backward-pass recompute."""
+    bsz, t, _ = hidden.shape
+    g = jnp.tanh(jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+                 + b).astype(hidden.dtype)
+    emb_map = g.reshape(bsz, t, freq_bins, emb)
+    energy = jnp.einsum("btfe,bke->bktf", emb_map, queries,
+                        preferred_element_type=jnp.float32)
+    return jax.nn.sigmoid(energy).astype(hidden.dtype)
+
+
+def _fwd_impl(hidden, w, b, queries, freq_bins, emb):
+    bsz, t, h2 = hidden.shape
+    out_dtype = hidden.dtype
+    # the kernel always computes at native MXU precision — bf16 operands,
+    # f32 accumulation (the effective precision of XLA's DEFAULT f32
+    # matmul on this hardware, CLAUDE.md); an f32-resident W (15.5 MB)
+    # plus the f32 accumulator would also blow the 16 MB VMEM budget
+    hidden = hidden.astype(jnp.bfloat16)
+    k = queries.shape[1]
+    fe = freq_bins * emb
+    tt = min(_TILE_T, t)
+    tp = -(-t // tt) * tt
+    if tp != t:
+        hidden = jnp.pad(hidden, ((0, 0), (0, tp - t), (0, 0)))
+    qrep = jnp.tile(queries.astype(hidden.dtype), (1, 1, freq_bins))
+    s = _block_sum_matrix(fe, emb, freq_bins, hidden.dtype)
+    bias = b.reshape(1, fe).astype(jnp.float32)
+    w = w.astype(hidden.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, k=k),
+        grid=(bsz, tp // tt),
+        in_specs=[
+            pl.BlockSpec((1, tt, h2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # W resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # bias
+            pl.BlockSpec((1, k, fe), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # S resident
+        ],
+        out_specs=pl.BlockSpec((1, k, tt, freq_bins),
+                               lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, k, tp, freq_bins),
+                                       out_dtype),
+        interpret=_interpret(),
+    )(hidden, w, bias, qrep, s)
+    return out[:, :, :t]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_dot_masks(hidden, w, b, queries, freq_bins: int, emb: int):
+    """hidden (B, T, 2H), w (2H, F*E), b (F*E,), queries (B, K, E) ->
+    sigmoid dot-attention masks (B, K, T, F) without materializing the
+    (B, T, F, E) embedding grid."""
+    return _fwd_impl(hidden, w, b, queries, freq_bins, emb)
+
+
+def _fwd_vjp(hidden, w, b, queries, freq_bins, emb):
+    out = _fwd_impl(hidden, w, b, queries, freq_bins, emb)
+    return out, (hidden, w, b, queries)
+
+
+def _bwd_vjp(freq_bins, emb, res, dout):
+    hidden, w, b, queries = res
+    _, vjp = jax.vjp(
+        lambda h, ww, bb, q: _reference_impl(h, ww, bb, q, freq_bins, emb),
+        hidden, w, b, queries)
+    return vjp(dout.astype(hidden.dtype))
+
+
+fused_dot_masks.defvjp(_fwd_vjp, _bwd_vjp)

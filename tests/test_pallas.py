@@ -110,3 +110,81 @@ def test_pallas_istft_length_contract(rng):
     assert pallas_istft(spec).shape[-1] == 39936       # reference min_len
     assert pallas_istft(spec, length=40000).shape[-1] == 40000
     assert pallas_istft(spec, length=1000).shape[-1] == 1000
+
+
+def test_fused_maskhead_matches_reference(rng):
+    """fused_dot_masks == proj+tanh+dot+sigmoid XLA path, fwd and grads."""
+    from dl4ss_tpu.ops.pallas_maskhead import (_reference_impl,
+                                               fused_dot_masks)
+    b, t, h2, f, e, k = 2, 37, 24, 13, 5, 3
+    hidden = jnp.asarray(rng.standard_normal((b, t, h2)).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.standard_normal((h2, f * e)).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.standard_normal(f * e).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, k, e)).astype(np.float32))
+    out = fused_dot_masks(hidden, w, bias, q, f, e)
+    ref = _reference_impl(hidden, w, bias, q, f, e)
+    assert out.shape == (b, k, t, f)
+    # the kernel computes at native MXU precision (bf16 operands, f32
+    # accumulate — the effective precision of XLA's default f32 matmul on
+    # TPU); the f32 reference differs at bf16 rounding level
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    def loss_fused(h, ww, bb, qq):
+        return jnp.sum(fused_dot_masks(h, ww, bb, qq, f, e) ** 2)
+
+    def loss_ref(h, ww, bb, qq):
+        return jnp.sum(_reference_impl(h, ww, bb, qq, f, e) ** 2)
+
+    # the custom VJP re-differentiates the XLA implementation (recompute
+    # backward), so grads differ only through the bf16-rounded forward
+    # output feeding the loss cotangent
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(hidden, w, bias, q)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(hidden, w, bias, q)
+    for a, bb_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
+                                   rtol=3e-2, atol=2e-2)
+
+
+def test_fused_maskhead_separator_equivalence(rng):
+    """separate() with use_pallas_maskhead on == off (interpret mode)."""
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.models import init_separator, separate
+    cfg = preset("synth_tiny")
+    params = init_separator(jax.random.PRNGKey(0), cfg)
+    feat = jnp.asarray(rng.standard_normal(
+        (2, cfg.num_frames, cfg.freq_bins)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, cfg.num_speakers, (2, cfg.top_k)))
+    off = separate(params, feat, cfg, spk_idx=idx)
+    on = separate(params, feat,
+                  cfg.replace(use_pallas_maskhead=True), spk_idx=idx)
+    np.testing.assert_allclose(np.asarray(on.masks), np.asarray(off.masks),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(on.pred), np.asarray(off.pred),
+                               atol=2e-2)
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_pallas_rnn_step_batched_path(rng, cell, monkeypatch):
+    """The step-batched (spc>1) kernels stay numerically identical to the
+    production 1-step-per-cell path, forward and grads (padding included:
+    T=7 is not a multiple of 4)."""
+    import dl4ss_tpu.ops.pallas_rnn as pr
+
+    x = jnp.asarray(rng.standard_normal((3, 7, 12)).astype(np.float32))
+    layers = rnn_init(jax.random.PRNGKey(0), cell, 12, 10, 1,
+                      bidirectional=True)
+
+    def run():
+        def loss(p):
+            h = bidirectional_rnn(p, x, cell, use_pallas=True)
+            return jnp.sum(h ** 2), h
+        (l, h), g = jax.value_and_grad(loss, has_aux=True)(layers)
+        return h, g
+
+    h1, g1 = run()
+    monkeypatch.setattr(pr, "_FORCED_SPC", 4)
+    h4, g4 = run()
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h4), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -97,6 +97,32 @@ def test_score_cli_main(tmp_path, rng, capsys):
     assert "SDR here:" in capsys.readouterr().out
 
 
+def test_rehearsal_corpus_generator(tmp_path):
+    """The dress-rehearsal corpus tool at toy scale: tree layout, official
+    list format, train/holdout utterance split, sampler compatibility."""
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.data.listsampler import Wsj0MixSampler
+    from dl4ss_tpu.data.rehearsal import generate_corpus
+
+    out = str(tmp_path / "corpus")
+    stats = generate_corpus(out, n_spk=5, utts=6, seconds=0.4,
+                            tr_entries=12, cv_entries=6, tt_entries=4,
+                            cv_holdout=2)
+    assert stats["speakers"] == 5 and stats["utterances"] == 30
+    assert stats["lists"]["mix_2_spk_tr.txt"] == 12
+    cfg = preset("synth_tiny").replace(max_len_seconds=0.4)
+    tr = Wsj0MixSampler(out + "/lists", out, cfg, "train")
+    assert tr.num_speakers == 5
+    cv = Wsj0MixSampler(out + "/lists", out, cfg, "valid",
+                        spk2idx=tr.spk2idx)
+    b = next(cv.batches(2, shuffle=False))
+    assert b.mix_wav.shape == (2, cfg.max_len)
+    # cv draws only held-out utterance indices (>= utts - cv_holdout)
+    tr_paths = {p for e in tr.entries for p in e.paths}
+    cv_paths = {p for e in cv.entries for p in e.paths}
+    assert not (tr_paths & cv_paths)
+
+
 def test_oracle_mask_bounds(rng):
     """IAM/IRM oracle SI-SDR: a strong positive bound on synthetic 2-mixes,
     with IAM (the sigmoid-mask family's exact ceiling) >= IRM - eps."""
