@@ -27,7 +27,9 @@ from dl4ss_tpu.train.steps import make_eval_step
 
 def main(argv=None):
     p = add_common_args(argparse.ArgumentParser(description=__doc__))
-    p.add_argument("--batches", type=int, default=4)
+    p.add_argument("--batches", type=int, default=None,
+                   help="bank modes: eval batches (default 4); list mode: "
+                   "cap on the full-split batch count (default: whole split)")
     p.add_argument("--mode", default="separate",
                    choices=["separate", "recursive", "memory"],
                    help="memory = Cocktail/Multi_modal target extraction "
@@ -139,9 +141,13 @@ def main(argv=None):
                 f"every mixture-list pool has fewer than batch_size_eval="
                 f"{cfg.batch_size_eval} entries — no full batch can be "
                 f"formed; lower batch_size_eval or extend the lists")
+        if args.batches is not None:
+            # list mode scores the whole split by default (the reference's
+            # protocol); an explicit --batches caps it for quick looks
+            n_batches = min(n_batches, args.batches)
     else:
         bank, cfg, idx2spk = load_bank(cfg, args)
-        n_batches = args.batches
+        n_batches = args.batches if args.batches is not None else 4
     if ck_cfg is not None:
         # data with more speakers than the trained embedding table would
         # silently mis-evaluate (the gather clamps out-of-range ids)
@@ -339,8 +345,9 @@ def _memory_eval(args):
     key = jax.random.PRNGKey(args.seed + 1)
     if unk_bank is None:
         # known-speaker protocol: memory rows from training drive the mask
+        n_b = args.batches if args.batches is not None else 4
         sdrs, gains = [], []
-        for _ in range(args.batches):
+        for _ in range(n_b):
             key, sub = jax.random.split(key)
             batch = sample_mixtures(sub, bank, cfg, train=False)
             s, g = _score(state.memory, batch, batch.spk_idx[:, 0])
@@ -348,7 +355,7 @@ def _memory_eval(args):
             gains.append(g)
         sisdr = float(np.mean(np.concatenate(sdrs)))
         ns = float(np.mean(np.concatenate(gains)))
-        print(f"memory-eval SI-SDR over {args.batches} batches: "
+        print(f"memory-eval SI-SDR over {n_b} batches: "
               f"{sisdr:.2f} dB (NSDR {ns:+.2f} dB)")
         return {"si_sdr": sisdr, "nsdr": ns}
 

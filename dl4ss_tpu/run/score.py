@@ -76,7 +76,7 @@ def _stack(wavs, length):
 
 def score_dir(path: str, aim: int = 2, flen: int = 512,
               pad_silent: bool = False, with_nsdr: bool = False,
-              verbose: bool = True):
+              verbose: bool = True, chunk: int = 200):
     """Score every mixture group in `path`. Returns a dict with the flat SDR
     array (one entry per scored channel, the reference's SDR_sum), the mean,
     and optionally the NSDR mean."""
@@ -124,14 +124,19 @@ def score_dir(path: str, aim: int = 2, flen: int = 512,
                     print(f"skip {idx}: {k_est} estimates vs {k_ref} "
                           f"references (rerun with --pad-silent)")
             continue
-        refs = np.stack([r for _, r, _, _ in items])       # (B, K, N)
-        ests = np.stack([e for _, _, e, _ in items])
-        res = bss_eval_sources(refs, ests, flen=flen)
-        sdr = np.asarray(res.sdr)                          # (B, K)
-        perm = np.asarray(res.perm)
-        for i, (idx, ref, _, mix) in enumerate(items):
-            _accumulate(idx, ref, sdr[i], perm[i], mix, flen,
-                        sdr_sum, nsdr_sum, per_mix, with_nsdr)
+        # chunk the batched solve: the Toeplitz LS system is
+        # (K*flen)^2 floats per mixture, so thousands of mixtures in one
+        # vmap overflow HBM (observed: 30.5 GB at B=3000, K=2, flen=512)
+        for lo in range(0, len(items), chunk):
+            part = items[lo:lo + chunk]
+            refs = np.stack([r for _, r, _, _ in part])    # (B, K, N)
+            ests = np.stack([e for _, _, e, _ in part])
+            res = bss_eval_sources(refs, ests, flen=flen)
+            sdr = np.asarray(res.sdr)                      # (B, K)
+            perm = np.asarray(res.perm)
+            for i, (idx, ref, _, mix) in enumerate(part):
+                _accumulate(idx, ref, sdr[i], perm[i], mix, flen,
+                            sdr_sum, nsdr_sum, per_mix, with_nsdr)
 
     sdr_arr = np.concatenate(sdr_sum) if sdr_sum else np.array([])
     out = {"sdr": sdr_arr,
@@ -175,9 +180,12 @@ def main(argv=None):
                         "references (bss_test.py:47-51)")
     p.add_argument("--nsdr", action="store_true",
                    help="also report NSDR vs the exported True_mix")
+    p.add_argument("--chunk", type=int, default=200,
+                   help="mixtures per batched on-device BSS-Eval call")
     args = p.parse_args(argv)
     return score_dir(args.path, aim=args.aim, flen=args.flen,
-                     pad_silent=args.pad_silent, with_nsdr=args.nsdr)
+                     pad_silent=args.pad_silent, with_nsdr=args.nsdr,
+                     chunk=args.chunk)
 
 
 if __name__ == "__main__":

@@ -88,6 +88,20 @@ def test_score_nsdr_and_multiple_groups(tmp_path, rng):
     assert out["mean_nsdr"] > 5.0
 
 
+def test_score_chunking_invariant(tmp_path, rng):
+    """Chunked batched scoring == one-shot scoring. The chunk loop exists
+    because the vmapped Toeplitz solve is (K*flen)^2 floats per mixture and
+    a whole tt list (3000 mixtures) overflows HBM in one call."""
+    refs = _sources(rng)
+    for idx in range(5):
+        ests = refs + 0.03 * rng.standard_normal(refs.shape)
+        _write_group(tmp_path, idx, refs, ests)
+    one = score_dir(str(tmp_path), flen=FLEN, verbose=False, chunk=1000)
+    many = score_dir(str(tmp_path), flen=FLEN, verbose=False, chunk=2)
+    assert one["n_mixtures"] == many["n_mixtures"] == 5
+    np.testing.assert_allclose(one["sdr"], many["sdr"], rtol=1e-6)
+
+
 def test_score_cli_main(tmp_path, rng, capsys):
     refs = _sources(rng)
     _write_group(tmp_path, 0, refs, refs)
