@@ -28,27 +28,41 @@ def export_batch_outputs(out_dir, mix_wavs: np.ndarray,
                          rate: int = 8000, clean: bool = True,
                          real_wavs: Optional[np.ndarray] = None,
                          idx_offset: int = 0,
-                         live: Optional[np.ndarray] = None) -> int:
+                         live: Optional[np.ndarray] = None,
+                         pred_names: Optional[Sequence[Sequence[str]]]
+                         = None) -> int:
     """mix (B, N), pred (B, Kp, N), true/real (B, K, N), spk_names[b][k].
     Returns #files. `idx_offset` shifts the mixture index so successive
     batches land in one directory without colliding (pass clean=False for
     batches after the first). pred may carry more channels than true/real
-    (recursive peel steps); extra pred channels are named by step. `live`
-    (B, K) skips the true/real wavs of dead (zero-gain) channels so
-    run.score never scores against a silent reference."""
+    (recursive peel steps; extra pred channels are named by step) OR fewer
+    (top_k < sampler k: every live reference is still written so run.score
+    sees the complete true source set). `live` (B, K) skips the true/real
+    wavs of dead (zero-gain) channels so run.score never scores against a
+    silent reference. `pred_names` overrides spk_names for the PRE wavs
+    only — recursive peel steps extract speakers in loop order, not the
+    reference channel order, and the naming contract says the file carries
+    THAT speaker's estimate."""
+    if pred_names is None:
+        pred_names = spk_names
     if clean and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     count = 0
     b, kp, _ = np.asarray(pred_wavs).shape
+    k_ref = max((np.asarray(w).shape[1] for w in (true_wavs, real_wavs)
+                 if w is not None), default=0)
     for bi in range(b):
         idx = bi + idx_offset
-        for ki in range(kp):
+        for ki in range(max(kp, k_ref)):
             spk = (spk_names[bi][ki] if ki < len(spk_names[bi])
                    else f"step{ki}")
-            write_wav(os.path.join(out_dir, f"{idx}_{spk}_pre.wav"),
-                      np.asarray(pred_wavs[bi, ki]), rate)
-            count += 1
+            if ki < kp:
+                pspk = (pred_names[bi][ki] if ki < len(pred_names[bi])
+                        else f"step{ki}")
+                write_wav(os.path.join(out_dir, f"{idx}_{pspk}_pre.wav"),
+                          np.asarray(pred_wavs[bi, ki]), rate)
+                count += 1
             ref_live = live is None or (ki < live.shape[1] and live[bi, ki])
             if not ref_live:
                 continue

@@ -244,13 +244,20 @@ def main(argv=None):
             # bss_test.cal protocol (main_run_multi_selfSS_recu.py:408-409)
             names = [[idx2spk[int(s)] for s in row]
                      for row in np.asarray(batch.spk_idx)]
+            # recursive pre-wavs are peel steps: name each by the speaker
+            # the loop actually extracted, not the channel-order speaker
+            pred_names = None
+            if args.mode == "recursive":
+                pred_names = [[idx2spk[int(s)] for s in row]
+                              for row in np.asarray(out["spk_steps"])]
             n = export_batch_outputs(
                 args.export_wavs, np.asarray(batch.mix_wav),
                 np.asarray(out["pred_wavs"]),
                 None, names, cfg.frame_rate, clean=(b == 0),
                 real_wavs=np.asarray(batch.source_wavs),
                 idx_offset=b * batch.mix_wav.shape[0],
-                live=np.asarray(batch.gains > 0))
+                live=np.asarray(batch.gains > 0),
+                pred_names=pred_names)
             if b == n_batches - 1:
                 print(f"exported wavs for {n_batches} batches to "
                       f"{args.export_wavs}/ (score with "

@@ -40,10 +40,12 @@ _NAME = re.compile(r"^(?P<idx>[^_]+)_(?P<rest>.+)\.wav$")
 
 
 def collect_groups(path: str):
-    """Scan a batch_output-style directory into {idx: {kind: [wavs...]}}.
+    """Scan a batch_output-style directory into {idx: {kind: [paths...]}}.
 
     Files are visited in sorted order (the reference's sorted listdir,
-    bss_test.py:22) so channel order is deterministic."""
+    bss_test.py:22) so channel order is deterministic. Only names are
+    collected here — wavs are decoded lazily per scoring chunk, so a
+    3,000-mixture tt export never sits fully in host RAM."""
     groups = defaultdict(lambda: defaultdict(list))
     for name in sorted(os.listdir(path)):
         m = _NAME.match(name)
@@ -60,15 +62,22 @@ def collect_groups(path: str):
             kind = "pre"
         else:
             continue
-        wav, _ = read_wav(os.path.join(path, name))
-        if wav.ndim > 1:
-            wav = wav[:, 0]
-        groups[idx][kind].append(wav.astype(np.float64))
+        groups[idx][kind].append(os.path.join(path, name))
     return groups
 
 
+def _load(paths):
+    out = []
+    for p in paths:
+        wav, _ = read_wav(p)
+        if wav.ndim > 1:
+            wav = wav[:, 0]
+        out.append(wav.astype(np.float32))
+    return out
+
+
 def _stack(wavs, length):
-    out = np.zeros((len(wavs), length), np.float64)
+    out = np.zeros((len(wavs), length), np.float32)
     for i, w in enumerate(wavs):
         out[i, :min(len(w), length)] = w[:length]
     return out
@@ -83,37 +92,42 @@ def score_dir(path: str, aim: int = 2, flen: int = 512,
     groups = collect_groups(path)
     if verbose:
         print(f"num of mixed: {len(groups)}")
-    length = max((len(w) for g in groups.values()
-                  for ws in g.values() for w in ws), default=0)
 
     # batch mixtures by (n_ref, n_est) so equal-shape problems run in one
-    # on-device call instead of the reference's per-file CPU loop
+    # on-device call instead of the reference's per-file CPU loop; only
+    # paths are grouped here, wavs decode per chunk below
     batches = defaultdict(list)
     for idx in sorted(groups, key=lambda s: (len(s), s)):
         g = groups[idx]
-        refs = g["realTrue"] or g["genTrue"]
-        ests = g["pre"]
-        if not refs or not ests:
+        ref_p = g["realTrue"] or g["genTrue"]
+        est_p = g["pre"]
+        if not ref_p or not est_p:
             continue
-        ref = _stack(refs, length)
-        est = _stack(ests, length)
-        if est.shape[0] == 1 and ref.shape[0] == 2:
-            est = np.repeat(est, 2, axis=0)        # bss_test.py:53-54
-        mix = _stack(g["mix"], length) if g["mix"] else None
-        batches[(ref.shape[0], est.shape[0])].append((idx, ref, est, mix))
+        k_ref, k_est = len(ref_p), len(est_p)
+        if k_est == 1 and k_ref == 2:
+            k_est = 2                              # bss_test.py:53-54 repeat
+        batches[(k_ref, k_est)].append((idx, ref_p, est_p, g["mix"]))
 
     sdr_sum, nsdr_sum, per_mix = [], [], {}
     for (k_ref, k_est), items in sorted(batches.items()):
         if k_est > k_ref and pad_silent:
             # silence-channel trick (bss_test.py:47-51): resolve the
-            # permutation on the padded problem, then re-score the chosen
-            # `aim` estimates against the true references
-            for idx, ref, est, mix in items:
-                pad = np.zeros((k_est - k_ref, length)) + 1e-5
+            # permutation on the padded problem, then re-score the estimates
+            # assigned to the true references. perm maps estimate j ->
+            # source perm[j] (BssResult convention), so the estimate chosen
+            # for source s is argsort(perm)[s] — NOT perm[s].
+            for idx, ref_p, est_p, mix_p in items:
+                refs, ests = _load(ref_p), _load(est_p)
+                mixw = _load(mix_p) if mix_p else None
+                length = max(len(w) for w in refs + ests)
+                ref = _stack(refs, length)
+                est = _stack(ests, length)
+                pad = np.zeros((k_est - k_ref, length), np.float32) + 1e-5
                 perm = np.asarray(bss_eval_sources(
                     np.concatenate([ref, pad]), est, flen=flen).perm)
-                chosen = est[perm[:aim]]
+                chosen = est[np.argsort(perm)[:aim]]
                 res = bss_eval_sources(ref[:aim], chosen, flen=flen)
+                mix = _stack(mixw, length) if mixw else None
                 _accumulate(idx, ref[:aim], np.asarray(res.sdr),
                             np.asarray(res.perm), mix, flen,
                             sdr_sum, nsdr_sum, per_mix, with_nsdr)
@@ -126,16 +140,28 @@ def score_dir(path: str, aim: int = 2, flen: int = 512,
             continue
         # chunk the batched solve: the Toeplitz LS system is
         # (K*flen)^2 floats per mixture, so thousands of mixtures in one
-        # vmap overflow HBM (observed: 30.5 GB at B=3000, K=2, flen=512)
+        # vmap overflow HBM (observed: 30.5 GB at B=3000, K=2, flen=512);
+        # decoding per chunk also bounds host RAM at chunk-size wavs
         for lo in range(0, len(items), chunk):
-            part = items[lo:lo + chunk]
-            refs = np.stack([r for _, r, _, _ in part])    # (B, K, N)
-            ests = np.stack([e for _, _, e, _ in part])
-            res = bss_eval_sources(refs, ests, flen=flen)
-            sdr = np.asarray(res.sdr)                      # (B, K)
+            part = [(idx, _load(ref_p), _load(est_p),
+                     _load(mix_p) if mix_p else None)
+                    for idx, ref_p, est_p, mix_p in items[lo:lo + chunk]]
+            length = max(len(w) for _, refs, ests, _ in part
+                         for w in refs + ests)
+            ref_s, est_s, mix_s = [], [], []
+            for _, refs, ests, mixw in part:
+                ref_s.append(_stack(refs, length))
+                est = _stack(ests, length)
+                if est.shape[0] == 1 and k_est == 2:
+                    est = np.repeat(est, 2, axis=0)  # bss_test.py:53-54
+                est_s.append(est)
+                mix_s.append(_stack(mixw, length) if mixw else None)
+            res = bss_eval_sources(np.stack(ref_s), np.stack(est_s),
+                                   flen=flen)
+            sdr = np.asarray(res.sdr)                  # (B, K)
             perm = np.asarray(res.perm)
-            for i, (idx, ref, _, mix) in enumerate(part):
-                _accumulate(idx, ref, sdr[i], perm[i], mix, flen,
+            for i, (idx, refs, _, _) in enumerate(part):
+                _accumulate(idx, ref_s[i], sdr[i], perm[i], mix_s[i], flen,
                             sdr_sum, nsdr_sum, per_mix, with_nsdr)
 
     sdr_arr = np.concatenate(sdr_sum) if sdr_sum else np.array([])

@@ -114,7 +114,9 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
                 state, last = step_fn(state, feats)
             return state, last
 
-        if eval_batch is None:
+        if eval_batch is None and eval_every:
+            # skip the decode when per-epoch eval is off (eval_every=0,
+            # e.g. run.classify --list-dir) — it would never be used
             eval_batch = next(sampler.batches(cfg.batch_size, shuffle=False))
 
         def eval_batch_fn(key):

@@ -138,6 +138,37 @@ def test_wav_export_contract(tmp_path, rng):
     assert n == len(files) == 2 * (2 * 2) + 2
 
 
+def test_wav_export_more_refs_than_preds(tmp_path, rng):
+    """top_k < sampler k: every LIVE reference is exported even when pred
+    carries fewer channels, so run.score sees the complete true source set
+    (a 2-estimate / 3-reference solve must not silently drop a source)."""
+    mix = rng.standard_normal((1, 800)).astype(np.float32) * 0.2
+    pred = rng.standard_normal((1, 2, 800)).astype(np.float32) * 0.2
+    real = rng.standard_normal((1, 3, 800)).astype(np.float32) * 0.2
+    names = [["011", "022", "033"]]
+    live = np.array([[True, True, True]])
+    export_batch_outputs(tmp_path / "out", mix, pred, None, names,
+                         real_wavs=real, live=live)
+    files = sorted(os.listdir(tmp_path / "out"))
+    assert sum(f.endswith("_pre.wav") for f in files) == 2
+    assert "0_033_realTrue.wav" in files          # the extra live reference
+    assert sum(f.endswith("_realTrue.wav") for f in files) == 3
+
+
+def test_wav_export_pred_names_override(tmp_path, rng):
+    """Recursive peel steps extract speakers in loop order; pred_names names
+    the pre-wavs by the EXTRACTED speaker while refs keep channel order."""
+    mix = rng.standard_normal((1, 800)).astype(np.float32) * 0.2
+    pred = rng.standard_normal((1, 2, 800)).astype(np.float32) * 0.2
+    real = pred + 0.01
+    export_batch_outputs(tmp_path / "out", mix, pred, None,
+                         [["011", "022"]], real_wavs=real,
+                         pred_names=[["022", "011"]])
+    files = sorted(os.listdir(tmp_path / "out"))
+    assert "0_022_pre.wav" in files and "0_011_pre.wav" in files
+    assert "0_011_realTrue.wav" in files and "0_022_realTrue.wav" in files
+
+
 def test_si_sdr_pit_live_masking(rng):
     """Dead (zero-gain) reference channels must not poison the mean."""
     ref = rng.standard_normal((2, 3, 2000)).astype(np.float32)

@@ -6,7 +6,7 @@ import pytest
 
 from dl4ss_tpu.data.wavio import read_wav, write_wav
 from dl4ss_tpu.eval.bss_eval import bss_eval_sources_numpy
-from dl4ss_tpu.run.score import collect_groups, score_dir
+from dl4ss_tpu.run.score import _load, collect_groups, score_dir
 
 RATE = 8000
 N = 2000
@@ -42,9 +42,9 @@ def test_score_dir_matches_numpy_oracle(tmp_path, rng):
     out = score_dir(str(tmp_path), flen=FLEN, verbose=False)
     assert out["n_mixtures"] == 1 and out["sdr"].shape == (2,)
 
-    groups = collect_groups(str(tmp_path))
-    r = np.stack(groups["0"]["realTrue"])
-    e = np.stack(groups["0"]["pre"])
+    groups = collect_groups(str(tmp_path))      # {idx: {kind: [paths]}}
+    r = np.stack(_load(groups["0"]["realTrue"])).astype(np.float64)
+    e = np.stack(_load(groups["0"]["pre"])).astype(np.float64)
     sdr, _, _, perm = bss_eval_sources_numpy(r, e, flen=FLEN)
     assert list(perm) == [1, 0]          # swap detected
     np.testing.assert_allclose(out["mean_sdr"], sdr.mean(), atol=0.2)
@@ -62,11 +62,15 @@ def test_score_repeat_trick(tmp_path, rng):
 
 def test_score_pad_silent_selects_best_estimates(tmp_path, rng):
     """3 estimates vs 2 references with --pad-silent: the two real estimates
-    are kept, the junk channel is dropped (bss_test.py:47-51)."""
+    are kept, the junk channel is dropped (bss_test.py:47-51). The estimate
+    order [ref1-like, junk, ref0-like] makes the padded-problem assignment a
+    3-cycle (perm=[1,2,0]) — treating perm as a source->estimate selector
+    (est[perm[:aim]]) would keep the junk channel; the correct selection is
+    argsort(perm)[:aim], the estimates ASSIGNED to the real references."""
     refs = _sources(rng)
     junk = 0.3 * rng.standard_normal(N)
-    ests = np.concatenate([refs + 0.02 * rng.standard_normal(refs.shape),
-                           junk[None]])
+    noisy = refs + 0.02 * rng.standard_normal(refs.shape)
+    ests = np.stack([noisy[1], junk, noisy[0]])
     _write_group(tmp_path, 0, refs, ests)
     # without the trick the mismatched group is skipped
     out = score_dir(str(tmp_path), flen=FLEN, verbose=False)
@@ -74,6 +78,7 @@ def test_score_pad_silent_selects_best_estimates(tmp_path, rng):
     out = score_dir(str(tmp_path), flen=FLEN, pad_silent=True, verbose=False)
     assert out["n_mixtures"] == 1
     assert out["mean_sdr"] > 10.0        # junk channel excluded
+    assert out["sdr"].min() > 10.0       # BOTH kept channels are real ones
 
 
 def test_score_nsdr_and_multiple_groups(tmp_path, rng):
