@@ -248,6 +248,7 @@ def main():
         return
     rate_ref, dt_ref = tpu_pipeline_rate(B, bf16=False)      # reference shape
     rate_big, dt_big = tpu_pipeline_rate(TPU_B, bf16=True)   # throughput cfg
+    _, serve_dt = tpu_pipeline_rate(1, bf16=True)            # serving latency
     train_rate, train_dt = tpu_train_rate()
     # Fair baseline: torch default threading (all cores). The reference's
     # literal single-threaded rate is also measured and logged to stderr so
@@ -256,7 +257,8 @@ def main():
     cpu_rate_1t, _ = cpu_reference_rate(num_threads=1)
     print(f"tpu f32  B={B}: {rate_ref:.1f} mixtures/s ({dt_ref*1e3:.2f} ms); "
           f"tpu bf16 B={TPU_B}: {rate_big:.1f} mixtures/s "
-          f"({dt_big*1e3:.2f} ms); fused train step bf16 B=128: "
+          f"({dt_big*1e3:.2f} ms); serve latency B=1 bf16: "
+          f"{serve_dt*1e3:.2f} ms; fused train step bf16 B=128: "
           f"{train_rate:.1f} mixtures/s ({train_dt*1e3:.2f} ms); "
           f"cpu reference (default threads): "
           f"{cpu_rate:.2f} mixtures/s; cpu reference (1 thread): "
@@ -269,6 +271,7 @@ def main():
         "unit": "mixtures/s",
         "vs_baseline": round(best / cpu_rate, 1),
         "train_step_mix_s": round(train_rate, 1),
+        "serve_latency_ms": round(serve_dt * 1e3, 2),
     }))
 
 

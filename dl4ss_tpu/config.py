@@ -85,6 +85,7 @@ class Config:
     lr_schedule: str = "constant"    # constant | halve_per_epoch | halve_50
     lr_floor: float = 1e-7           # TestVer:596-600 halving floor
     loss_mode: str = "pit"           # pit | identity (reference channel-by-id)
+                                     # | si_sdr (time-domain uPIT fine-tune)
     sum_loss_weight: float = 0.0     # 0.5*sum-to-one term (disabled in ref A17)
     grad_clip_norm: float = 200.0    # Keras Nadam(clipnorm=200) (nnet.py:23)
     optimizer: str = "adam"
@@ -162,6 +163,9 @@ class Config:
         if self.top_k < 1 or self.frame_shift > self.frame_length:
             raise ValueError("top_k must be >=1 and frame_shift must not "
                              "exceed frame_length")
+        if self.loss_mode not in ("pit", "identity", "si_sdr"):
+            raise ValueError(f"unknown loss_mode {self.loss_mode!r}; one "
+                             f"of ('pit', 'identity', 'si_sdr')")
         return self
 
     def replace(self, **kw) -> "Config":

@@ -64,9 +64,17 @@ def classify_speakers(params, feat: jax.Array, cfg: Config,
 def _use_fused_maskhead(cfg: Config) -> bool:
     """The fused Pallas proj+dot+sigmoid kernel replaces the XLA
     embedding-grid materialization (ops/pallas_maskhead.py); magnitude
-    dot-head configs only — align heads and cRM keep the XLA path."""
+    dot-head configs only — align heads and cRM keep the XLA path.
+
+    Size guard: the kernel keeps the bf16 projection W (2H, F*E) VMEM-
+    resident for the whole grid alongside the (TILE_T, F*E) f32 accumulator
+    and the block-sum matrix; past ~10 MB of W the working set exceeds the
+    16 MB/core VMEM budget (H=600 puts W alone at 15.5 MB), so scaled-up
+    configs silently take the XLA path instead of failing to compile."""
+    fe = cfg.freq_bins * cfg.embedding_size
+    w_bytes = (2 * cfg.hidden_units) * fe * 2        # bf16 resident W
     return (cfg.use_pallas_maskhead and cfg.mask_head == "dot"
-            and not cfg.is_complex_mask)
+            and not cfg.is_complex_mask and w_bytes <= 10 * 2 ** 20)
 
 
 def _finish(params, cfg, emb_map, hidden, queries, feat, mix_ri, probs):

@@ -76,6 +76,32 @@ def _separation_loss(params, feats, cfg: Config):
     params, cfeats = _compute_cast(params, feats, cfg)
     out = separate(params, cfeats["mix_feas"], cfg, spk_idx=spk_idx,
                    mix_ri=cfeats.get("mix_ri"))
+    if cfg.loss_mode == "si_sdr":
+        # Time-domain uPIT objective — a framework extension beyond the
+        # reference's spectral MSE (which plateaus ~4 dB under the bank's
+        # IRM-oracle bound, docs/BENCHMARKS.md): resynthesize in-graph
+        # with the mixture phase (exactly make_eval_step's path, so train
+        # loss == eval metric) and minimize negative live-weighted SI-SDR.
+        # The whole chain (mask -> iSTFT matmuls -> SI-SDR) is one fused
+        # differentiable XLA program; assignment is the PIT max, which
+        # backprops through the selected permutation.
+        pred = out.pred.astype(jnp.float32)
+        if cfg.is_complex_mask:
+            pred_spec = unpack_ri(pred)
+        else:
+            mix = unpack_ri(feats["mix_ri"])
+            mag = jnp.abs(mix)
+            phasor = mix / jnp.maximum(mag, 1e-8).astype(mix.dtype)
+            pred_spec = pred * phasor[:, None]
+        wavs = istft_cfg(pred_spec, cfg, length=cfg.max_len)
+        scores, perm = si_sdr_pit(wavs, feats["source_wavs"], live=live)
+        loss = -jnp.mean(scores)
+        aux = {"mask_loss": loss, "out": out, "perm": perm}
+        if cfg.sum_loss_weight > 0 and not cfg.is_complex_mask:
+            sl = sum_to_one_loss(out.masks * live[..., None, None])
+            loss = loss + cfg.sum_loss_weight * sl
+            aux["sum_loss"] = sl
+        return loss, aux
     if cfg.is_complex_mask:
         target = feats["src_ri"]
         pred = out.pred * live[..., None, None, None]
@@ -103,12 +129,12 @@ def _separation_loss(params, feats, cfg: Config):
 def make_train_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
     """The canonical joint trainer (A17/A18/A19; cRM variant B14 when
     cfg.is_complex_mask): teacher-forced speakers, mask MSE (+PIT), Adam."""
-    if not cfg.ground_truth and cfg.loss_mode != "pit":
+    if not cfg.ground_truth and cfg.loss_mode == "identity":
         raise ValueError(
             "ground_truth=False selects channels from the classifier, so "
             "channel k no longer aligns with source k — identity assignment "
-            "is ill-posed in the top-k layout; use loss_mode='pit' (or the "
-            "dense trainer, which assigns channels by speaker id).")
+            "is ill-posed in the top-k layout; use loss_mode='pit'/'si_sdr' "
+            "(or the dense trainer, which assigns channels by speaker id).")
     cfg = _train_cfg(cfg)
     opt = make_optimizer(cfg, steps_per_epoch)
 
@@ -265,11 +291,11 @@ def make_adversarial_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
     spectra (dis-ss); pass feats["real_specs"] with different-utterance
     same-speaker spectra for dis-sp (predata_fromList_dis.py:37-66).
     """
-    if not cfg.ground_truth and cfg.loss_mode != "pit":
+    if not cfg.ground_truth and cfg.loss_mode == "identity":
         raise ValueError(
             "ground_truth=False selects channels from the classifier — "
             "identity assignment is ill-posed in the top-k layout; use "
-            "loss_mode='pit' (same constraint as make_train_step)")
+            "loss_mode='pit'/'si_sdr' (same constraint as make_train_step)")
     cfg = _train_cfg(cfg)
     g_opt = make_optimizer(cfg, steps_per_epoch)
     d_opt = make_optimizer(cfg, steps_per_epoch)

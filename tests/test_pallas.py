@@ -163,6 +163,17 @@ def test_fused_maskhead_separator_equivalence(rng):
                                atol=2e-2)
 
 
+def test_fused_maskhead_vmem_size_guard():
+    """Scaled-up configs whose resident W exceeds the VMEM budget must fall
+    back to the XLA head instead of failing to compile: H=600 puts the bf16
+    (2H, F*E) projection at 15.5 MB against the 16 MB/core budget."""
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.models.separator import _use_fused_maskhead
+    cfg = preset("torch_multi")
+    assert _use_fused_maskhead(cfg)                      # H=300: 7.7 MB, on
+    assert not _use_fused_maskhead(cfg.replace(hidden_units=600))
+
+
 @pytest.mark.parametrize("cell", ["gru", "lstm"])
 def test_pallas_rnn_step_batched_path(rng, cell, monkeypatch):
     """The step-batched (spc>1) kernels stay numerically identical to the
