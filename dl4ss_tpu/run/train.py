@@ -46,6 +46,11 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--epoch-size", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start fine-tune: load model params from this "
+                        "checkpoint dir into a FRESH optimizer (vs --resume, "
+                        "which restores the exact state tree) — e.g. "
+                        "spectral-MSE pretrain then --set loss_mode=si_sdr")
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--dis-sp", action="store_true",
                    help="adversarial 'real' pool = same-speaker different "
@@ -150,6 +155,14 @@ def main(argv=None):
             f"--resume: the data source has {cfg.num_speakers} speakers "
             f"but the checkpoint was trained with {ck_cfg.num_speakers}; "
             f"resume with the original data/lists")
+    if args.init_from:
+        if args.resume:
+            raise SystemExit("--init-from (warm start, fresh optimizer) and "
+                             "--resume (exact state restore) conflict; "
+                             "pick one")
+        if args.mode in ("memory", "video", "image-query"):
+            raise SystemExit(f"--init-from is not wired into {args.mode} "
+                             f"mode; those trainers resume with --resume")
     print(cfg.log_config())
     if args.mode == "memory":
         return _run_memory_mode(cfg, bank, args)
@@ -160,7 +173,8 @@ def main(argv=None):
         seed=args.seed, mode=args.mode, metrics_path=args.metrics,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         eval_every=args.eval_every, noise_bank=noise_bank,
-        dis_sp=args.dis_sp, sampler=sampler, eval_batch=eval_batch)
+        dis_sp=args.dis_sp, sampler=sampler, eval_batch=eval_batch,
+        init_from=args.init_from)
     if sdr:
         print(f"final SI-SDR: {sdr[-1]:.2f} dB (best {max(sdr):.2f})")
     return state

@@ -81,6 +81,34 @@ def restore_checkpoint(directory, template: TrainState,
     return restored
 
 
+def init_params_from(state: TrainState, directory,
+                     step: Optional[int] = None) -> TrainState:
+    """Warm start: graft the WHOLE params tree from a donor checkpoint,
+    keeping fresh optimizer state — the reference's fine-tune pattern of
+    loading a prior run's weights into a newly-built trainer
+    (TDAA_beta/main_run_sstune.py `load_state_dict` before a fresh
+    optimizer). Use when the objective/schedule changes (e.g. spectral-MSE
+    pretrain -> loss_mode='si_sdr' fine-tune), where `--resume` would be
+    wrong: the optimizer state tree no longer matches.
+    """
+    mgr = _manager(directory)
+    use = mgr.latest_step() if step is None else step
+    # no template: the donor run may carry a different optimizer tree;
+    # only its params are read, and they must match shape-for-shape
+    raw = mgr.restore(use)
+    mgr.close()
+    donor = raw["params"] if isinstance(raw, dict) else raw.params
+    want = jax.tree_util.tree_map(lambda x: x.shape, state.params)
+    got = jax.tree_util.tree_map(lambda x: x.shape, donor)
+    if want != got:
+        raise ValueError(
+            f"params from {directory!r} do not match the model being "
+            f"trained: expected {want}, got {got}")
+    params = jax.tree_util.tree_map(
+        lambda cur, d: jax.numpy.asarray(d, cur.dtype), state.params, donor)
+    return state._replace(params=params)
+
+
 def load_components(state: TrainState, sources: dict,
                     step: Optional[int] = None) -> TrainState:
     """Checkpoint-zoo composition: graft individual model components from

@@ -40,7 +40,8 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
                noise_bank: Optional[jax.Array] = None,
                dis_sp: bool = False,
                sampler=None,
-               eval_batch=None):
+               eval_batch=None,
+               init_from: Optional[str] = None):
     """mode: joint | adversarial | classifier.
 
     `noise_bank` enables the street-noise augment (A5); `dis_sp` feeds the
@@ -75,6 +76,12 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
             seed, cfg.num_speakers, 4, cfg.max_len))
     key = jax.random.PRNGKey(seed)
     state = create_train_state(key, cfg, steps_per_epoch=epoch_size)
+    if init_from:
+        # warm start (fine-tune): donor weights, fresh optimizer/schedule —
+        # the objective may have changed, so --resume's exact-tree restore
+        # does not apply
+        from dl4ss_tpu.train.checkpoint import init_params_from
+        state = init_params_from(state, init_from)
     if resume and checkpoint_dir:
         # a pre-created directory (vocab.json/cfg.json sidecars) is not a
         # checkpoint — only resume when a saved step actually exists

@@ -355,6 +355,27 @@ def test_separate_long_file(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_train_init_from_fine_tune(tmp_path):
+    """--init-from warm-starts a fresh trainer (new objective, fresh Adam)
+    from a donor checkpoint's weights; conflicting/inert flag combos exit."""
+    from dl4ss_tpu.run.train import main as train_main
+    ck = str(tmp_path / "ck")
+    base = ["--preset", "synth_tiny", "--epochs", "1", "--epoch-size", "2",
+            "--checkpoint-dir", ck, "--set", "checkpoint_every_epochs=1"]
+    train_main(base)
+    state = train_main(["--preset", "synth_tiny", "--init-from", ck,
+                        "--set", "loss_mode=si_sdr", "--epochs", "1",
+                        "--epoch-size", "2"])
+    assert int(state.step) == 2           # fresh step counter, not resumed
+    with pytest.raises(SystemExit):
+        train_main(["--preset", "synth_tiny", "--init-from", ck, "--resume",
+                    "--checkpoint-dir", ck, "--epochs", "1"])
+    with pytest.raises(SystemExit):
+        train_main(["--preset", "synth_tiny", "--init-from", ck,
+                    "--mode", "memory", "--epochs", "1"])
+
+
+@pytest.mark.slow
 def test_train_resume_uses_checkpoint_cfg(tmp_path):
     """--resume rebuilds state from the checkpoint's recorded config even if
     the CLI preset differs (runtime overrides still win)."""

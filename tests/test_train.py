@@ -162,6 +162,34 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 4 and np.isfinite(float(m["loss"]))
 
 
+def test_init_params_from_warm_start(tmp_path):
+    """init_params_from grafts the donor's weights into a FRESH trainer
+    (the MSE-pretrain -> si_sdr-fine-tune pattern): params match the donor,
+    step/optimizer start at zero, and a mismatched donor raises."""
+    from dl4ss_tpu.train.checkpoint import init_params_from
+    donor = create_train_state(jax.random.PRNGKey(0), CFG)
+    step = make_train_step(CFG)
+    feats = _feats()
+    for _ in range(3):
+        donor, _ = step(donor, feats)
+    save_checkpoint(tmp_path / "ckpt", donor)
+    ft_cfg = CFG.replace(loss_mode="si_sdr")
+    fresh = init_params_from(
+        create_train_state(jax.random.PRNGKey(9), ft_cfg), tmp_path / "ckpt")
+    assert int(fresh.step) == 0
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        donor.params, fresh.params)
+    ft = make_train_step(ft_cfg)
+    fresh, m = ft(fresh, feats)
+    assert int(fresh.step) == 1 and np.isfinite(float(m["loss"]))
+    wrong = create_train_state(
+        jax.random.PRNGKey(9), CFG.replace(hidden_units=CFG.hidden_units * 2))
+    with pytest.raises(ValueError):
+        init_params_from(wrong, tmp_path / "ckpt")
+
+
 def test_train_loop_smoke(tmp_path):
     cfg = CFG.replace(checkpoint_every_epochs=1)
     state, sdr = train_loop(cfg, bank=BANK, max_epochs=2, epoch_size=2,
