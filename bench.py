@@ -22,6 +22,7 @@ CHECK_TOLS = {    # max-abs-err tolerances for the on-chip kernel self-check
     "gru_fwd": 2e-2, "gru_grad": 2e-2,      # bf16 single-pass MXU tiles vs
     "lstm_fwd": 2e-2, "lstm_grad": 2e-2,    # the scan path's identical math
     "stft": 1e-3,                            # f32 HIGHEST DSP matmuls
+    "stft_features": 1e-3, "masked_istft": 1e-3,
     "maskhead_fwd": 2e-2, "maskhead_grad": 5e-2,
 }
 TPU_B = 256       # TPU throughput batch. The round-2 VMEM cliff above
@@ -40,8 +41,8 @@ def tpu_pipeline_rate(batch: int, bf16: bool):
     from dl4ss_tpu.ops import istft, magnitude_and_phase, stft
 
     # the torch_multi preset ships the full Pallas kernel suite: fused-gate
-    # RNN scans, fused STFT, and the fused proj+dot+sigmoid mask head
-    # (docs/BENCHMARKS.md round-3 table)
+    # RNN scans, fused STFT features, the fused proj+dot+sigmoid mask head,
+    # and the fused masked-iSTFT resynthesis (docs/BENCHMARKS.md round-3)
     cfg = preset("torch_multi").replace(batch_size=batch)
     params = init_separator(jax.random.PRNGKey(0), cfg)
     if bf16:
@@ -51,24 +52,38 @@ def tpu_pipeline_rate(batch: int, bf16: bool):
     wavs = jnp.asarray(
         rng.standard_normal((batch, N_SAMPLES)).astype(np.float32))
     spk_idx = jnp.asarray(rng.integers(0, cfg.num_speakers, (batch, 2)))
-    if cfg.use_pallas_stft:
-        from dl4ss_tpu.ops.pallas_stft import pallas_stft as _stft
-    else:
-        _stft = stft
 
-    @jax.jit
-    def forward(wav):
-        spec = _stft(wav, cfg.frame_length, cfg.frame_shift)
-        mag, phasor = magnitude_and_phase(spec)
-        feat = mag.astype(jnp.bfloat16) if bf16 else mag
-        out = separate(params, feat, cfg, spk_idx=spk_idx)
-        sep = istft(out.pred.astype(jnp.float32) * phasor[:, None],
-                    cfg.frame_length, cfg.frame_shift, length=N_SAMPLES)
-        # feed the output back so successive iterations serialize — on this
-        # backend block_until_ready does not reliably block; only a host
-        # value fetch forces the chain, so the timing loop is a dependent
-        # chain closed by one float() fetch.
-        return wav + 1e-9 * sep[:, 0]
+    if cfg.use_pallas_stft:
+        # phasor-free pipeline: mask (.) |X| . e^{j angle X} == mask (.) X,
+        # so the fused feature kernel hands (mag, Re X, Im X) straight to
+        # the fused masked-iSTFT — no magnitude division, no complex
+        # multiply, no pred materialization (XLA DCEs out.pred)
+        from dl4ss_tpu.ops.pallas_stft import (pallas_masked_istft,
+                                               pallas_stft_features)
+
+        @jax.jit
+        def forward(wav):
+            feat, re, im = pallas_stft_features(
+                wav, cfg.frame_length, cfg.frame_shift,
+                feat_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+            out = separate(params, feat, cfg, spk_idx=spk_idx)
+            sep = pallas_masked_istft(re, im, out.masks, cfg.frame_length,
+                                      cfg.frame_shift, length=N_SAMPLES)
+            # feed the output back so successive iterations serialize — on
+            # this backend block_until_ready does not reliably block; only a
+            # host value fetch forces the chain, so the timing loop is a
+            # dependent chain closed by one float() fetch.
+            return wav + 1e-9 * sep[:, 0]
+    else:
+        @jax.jit
+        def forward(wav):
+            spec = stft(wav, cfg.frame_length, cfg.frame_shift)
+            mag, phasor = magnitude_and_phase(spec)
+            feat = mag.astype(jnp.bfloat16) if bf16 else mag
+            out = separate(params, feat, cfg, spk_idx=spk_idx)
+            sep = istft(out.pred.astype(jnp.float32) * phasor[:, None],
+                        cfg.frame_length, cfg.frame_shift, length=N_SAMPLES)
+            return wav + 1e-9 * sep[:, 0]
 
     x = forward(wavs)
     assert np.isfinite(float(jnp.sum(x)))
@@ -191,6 +206,23 @@ def run_checks():
     # complex->host transfer is unimplemented on this backend: compare
     # magnitudes (the same check tests/test_pallas.py runs off-chip)
     record("stft", jnp.abs(ours), jnp.abs(ref))
+
+    # --- fused (mag, Re, Im) feature kernel + fused masked-iSTFT vs the
+    # XLA stft -> phasor -> istft resynthesis chain ---
+    from dl4ss_tpu.ops.pallas_stft import (pallas_masked_istft,
+                                           pallas_stft_features)
+    from dl4ss_tpu.ops.stft import istft, magnitude_and_phase
+    mag_f, re_f, im_f = pallas_stft_features(wav)
+    record("stft_features",
+           jnp.concatenate([mag_f, re_f, im_f], -1),
+           jnp.concatenate([jnp.abs(ref), jnp.real(ref), jnp.imag(ref)], -1))
+    t_frames, f_bins = ref.shape[1], ref.shape[2]
+    masks = jnp.asarray(
+        rng.uniform(0, 1, (4, 2, t_frames, f_bins)).astype(np.float32))
+    ours_w = pallas_masked_istft(re_f, im_f, masks, length=8000)
+    magn, phasor = magnitude_and_phase(ref)
+    ref_w = istft((masks * magn[:, None]) * phasor[:, None], length=8000)
+    record("masked_istft", ours_w, ref_w)
 
     # --- fused mask head fwd + grads vs the XLA embedding-grid path ---
     hid = jnp.asarray(rng.standard_normal((4, 96, 600)).astype(np.float32))

@@ -24,7 +24,7 @@ from dl4ss_tpu.data.wavio import read_wav, write_wav
 from dl4ss_tpu.models.separator import recursive_separate, separate
 from dl4ss_tpu.ops.crm import pack_ri, unpack_ri
 from dl4ss_tpu.ops.stft import (istft_cfg, magnitude_and_phase,
-                                spectral_feature_cfg)
+                                masked_resynthesis, spectral_feature_cfg)
 from dl4ss_tpu.run.common import add_common_args, build_cfg
 from dl4ss_tpu.train.checkpoint import restore_checkpoint
 from dl4ss_tpu.train.state import create_train_state
@@ -105,14 +105,14 @@ def _separate_chunk(params, chunk: np.ndarray, cfg, spk_idx=None):
     # features follow the TRAINING convention (log-spectral configs feed
     # log features; the mask still applies to the linear spectrum)
     feat, spec = spectral_feature_cfg(mix, cfg)
-    mag, phasor = magnitude_and_phase(spec)
     idx = None if spk_idx is None else jnp.asarray(spk_idx)[None]
     out = separate(params, feat, cfg, spk_idx=idx, mix_ri=pack_ri(spec))
     if cfg.is_complex_mask:
-        pred_spec = unpack_ri(out.pred)
+        wavs = istft_cfg(unpack_ri(out.pred), cfg, length=cfg.max_len)
     else:
-        pred_spec = out.pred * phasor[:, None]
-    wavs = istft_cfg(pred_spec, cfg, length=cfg.max_len)
+        # phasor-free: istft(mask (.) X) == istft(mask.|X|.e^{j angle X}),
+        # fused on TPU under cfg.use_pallas_stft
+        wavs = masked_resynthesis(spec, out.masks, cfg, length=cfg.max_len)
     return np.asarray(wavs[0])
 
 
@@ -184,26 +184,30 @@ def main(argv=None):
 
     def run_batch(mix):
         feat, spec = spectral_feature_cfg(mix, cfg)
-        mag, phasor = magnitude_and_phase(spec)
         if args.mode == "recursive":
+            # the peel steps resynthesize from masked RESIDUALS, not the
+            # original spectrum, so the phasor path stays
+            mag, phasor = magnitude_and_phase(spec)
             extracted, spk_steps = recursive_jit(state.params, feat)
             pred_spec = extracted * phasor[:, None]
             chosen = np.asarray(spk_steps)
+            sep = np.asarray(istft_cfg(pred_spec, cfg, length=cfg.max_len))
+            return sep, chosen
+        spk_idx = None
+        if args.speakers:
+            idx = [int(s) for s in args.speakers.split(",")]
+            spk_idx = jnp.tile(jnp.asarray(idx)[None, :],
+                               (mix.shape[0], 1))
+        out = separate(state.params, feat, cfg, spk_idx=spk_idx,
+                       mix_ri=pack_ri(spec))
+        chosen = (np.asarray(spk_idx) if spk_idx is not None else
+                  np.asarray(jax.lax.top_k(out.probs, cfg.top_k)[1]))
+        if cfg.is_complex_mask:
+            sep = np.asarray(istft_cfg(unpack_ri(out.pred), cfg,
+                                       length=cfg.max_len))
         else:
-            spk_idx = None
-            if args.speakers:
-                idx = [int(s) for s in args.speakers.split(",")]
-                spk_idx = jnp.tile(jnp.asarray(idx)[None, :],
-                                   (mix.shape[0], 1))
-            out = separate(state.params, feat, cfg, spk_idx=spk_idx,
-                           mix_ri=pack_ri(spec))
-            if cfg.is_complex_mask:
-                pred_spec = unpack_ri(out.pred)
-            else:
-                pred_spec = out.pred * phasor[:, None]
-            chosen = (np.asarray(spk_idx) if spk_idx is not None else
-                      np.asarray(jax.lax.top_k(out.probs, cfg.top_k)[1]))
-        sep = np.asarray(istft_cfg(pred_spec, cfg, length=cfg.max_len))
+            sep = np.asarray(masked_resynthesis(spec, out.masks, cfg,
+                                                length=cfg.max_len))
         return sep, chosen
 
     for start in range(0, len(args.wavs), bsz):

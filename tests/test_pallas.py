@@ -174,6 +174,55 @@ def test_fused_maskhead_vmem_size_guard():
     assert not _use_fused_maskhead(cfg.replace(hidden_units=600))
 
 
+def test_pallas_stft_features_matches_xla(rng):
+    """The single-kernel (mag, re, im) emission == stft -> abs/real/imag."""
+    from dl4ss_tpu.ops.pallas_stft import pallas_stft_features
+    x = jnp.asarray(rng.standard_normal((3, 4000)).astype(np.float32))
+    mag, re, im = pallas_stft_features(x)
+    ref = stft(x)
+    np.testing.assert_allclose(np.asarray(mag), np.asarray(jnp.abs(ref)),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(re), np.asarray(jnp.real(ref)),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(jnp.imag(ref)),
+                               atol=1e-4)
+    # feat_dtype casts the feature inside the kernel
+    mag16, _, _ = pallas_stft_features(x, feat_dtype=jnp.bfloat16)
+    assert mag16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(mag16, np.float32),
+                               np.asarray(jnp.abs(ref)), atol=0.15, rtol=1e-2)
+
+
+def test_pallas_masked_istft_matches_phasor_path(rng):
+    """Fused mask-apply + iDFT + OLA == the reference's explicit
+    mask.|X|.e^{j angle(X)} -> istft resynthesis (the phase reapplication
+    cancels against the magnitude division)."""
+    from dl4ss_tpu.ops import istft, magnitude_and_phase
+    from dl4ss_tpu.ops.pallas_stft import pallas_masked_istft
+    x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    spec = stft(x)
+    b, t, f = spec.shape
+    masks = jnp.asarray(
+        rng.uniform(0, 1, (b, 3, t, f)).astype(np.float32))
+    ours = pallas_masked_istft(jnp.real(spec), jnp.imag(spec), masks,
+                               length=8000)
+    mag, phasor = magnitude_and_phase(spec)
+    ref = istft((masks * mag[:, None]) * phasor[:, None], length=8000)
+    assert ours.shape == (2, 3, 8000)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-4)
+
+
+def test_pallas_masked_istft_length_contract(rng):
+    from dl4ss_tpu.ops.pallas_stft import pallas_masked_istft
+    x = jnp.asarray(rng.standard_normal((1, 40000)).astype(np.float32))
+    spec = stft(x)
+    masks = jnp.ones((1, 2) + spec.shape[1:], jnp.bfloat16)  # bf16 masks ok
+    out = pallas_masked_istft(jnp.real(spec), jnp.imag(spec), masks)
+    assert out.shape[-1] == 39936                      # reference min_len
+    assert pallas_masked_istft(jnp.real(spec), jnp.imag(spec), masks,
+                               length=40000).shape[-1] == 40000
+
+
 @pytest.mark.parametrize("cell", ["gru", "lstm"])
 def test_pallas_rnn_step_batched_path(rng, cell, monkeypatch):
     """The step-batched (spc>1) kernels stay numerically identical to the

@@ -133,3 +133,22 @@ def test_masked_resynthesis_pipeline(rng):
     mask = jnp.ones_like(mag)
     y = np.asarray(istft(mask * mag * phasor, L, HOP))
     np.testing.assert_allclose(y, x[:len(y)], atol=1e-3)
+
+
+def test_masked_resynthesis_helper_matches_phasor_path(rng):
+    """ops.masked_resynthesis == the explicit mask.|X|.phasor istft, on both
+    the XLA and the fused-Pallas (use_pallas_stft) routes."""
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.ops.stft import masked_resynthesis
+    cfg = preset("torch_multi")
+    x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    spec = stft(x, cfg.frame_length, cfg.frame_shift)
+    mag, phasor = magnitude_and_phase(spec)
+    masks = jnp.asarray(rng.uniform(
+        0, 1, (2, 2) + mag.shape[1:]).astype(np.float32))
+    ref = np.asarray(istft((masks * mag[:, None]) * phasor[:, None],
+                           cfg.frame_length, cfg.frame_shift, length=8000))
+    for flag in (False, True):
+        got = np.asarray(masked_resynthesis(
+            spec, masks, cfg.replace(use_pallas_stft=flag), length=8000))
+        np.testing.assert_allclose(got, ref, atol=2e-4)
