@@ -198,6 +198,15 @@ def _register(cfg: Config) -> Config:
 TORCH_MULTI = _register(Config(name="torch_multi", use_pallas_rnn=True,
                                use_pallas_stft=True, use_pallas_maskhead=True))
 
+# Scaled beyond-reference config (no reference counterpart): 3-layer
+# BiGRU-384 encoder. H=384 is an exact 128-lane multiple, so the fused
+# Pallas RNN kernels run unpadded, and the bf16 projection W (9.9 MB)
+# still fits the fused mask head's VMEM guard. Closes part of the gap to
+# the oracle IRM bound that the reference topology (H=300 x 2) leaves
+# (docs/BENCHMARKS.md real-scale rehearsal).
+TORCH_MULTI_XL = _register(TORCH_MULTI.replace(
+    name="torch_multi_xl", hidden_units=384, encoder_layers=3))
+
 # Torch_multi/main_run_multi_selfSS_dB.py + predata_multiAims_dB: SNR-augmented,
 # widened classifier.
 TORCH_MULTI_DB = _register(Config(
