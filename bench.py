@@ -297,6 +297,10 @@ def main():
           f"{cpu_rate_1t:.2f} mixtures/s",
           file=sys.stderr)
     best = max(rate_ref, rate_big)
+    # model math per mixture (docs/BENCHMARKS.md roofline): BiGRU 1.50 +
+    # Dense proj 2.42 + mask-head E-contraction 0.01 + STFT/iSTFT 0.12
+    # GFLOP = 4.05 GFLOP; v5e bf16 peak 197 TFLOP/s
+    mfu = best * 4.05e9 / 197e12
     print(json.dumps({
         "metric": "wsj0-2mix mixtures/sec/chip (stft->bigru->mask->istft)",
         "value": round(best, 1),
@@ -304,6 +308,7 @@ def main():
         "vs_baseline": round(best / cpu_rate, 1),
         "train_step_mix_s": round(train_rate, 1),
         "serve_latency_ms": round(serve_dt * 1e3, 2),
+        "mfu_pct": round(100 * mfu, 1),
     }))
 
 

@@ -107,11 +107,11 @@ def pallas_stft(x: jax.Array, frame_length: int = 256, frame_shift: int = 128,
 
 def pallas_spectral_feature(wav: jax.Array, frame_length: int = 256,
                             frame_shift: int = 128, window: str = "hann"):
-    """|STFT| magnitude + packed RI spectrum, fused-kernel path."""
-    ri = pallas_stft_ri(wav, frame_length, frame_shift, window)
-    bins = frame_length // 2 + 1
-    re, im = ri[..., :bins], ri[..., bins:]
-    mag = jnp.sqrt(re * re + im * im)
+    """|STFT| magnitude + packed RI spectrum, fused-kernel path (the
+    magnitude comes out of the kernel itself — no XLA pass over the RI
+    spectrum; see pallas_stft_features)."""
+    mag, re, im = pallas_stft_features(wav, frame_length, frame_shift,
+                                       window)
     return mag, jnp.stack([re, im], axis=-1)
 
 
