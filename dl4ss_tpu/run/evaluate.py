@@ -88,6 +88,12 @@ def main(argv=None):
                         "eval mixtures before scoring (predict.py:152-158; "
                         "the noisedB eval condition) — sources stay the "
                         "clean references")
+    p.add_argument("--graft", default=None,
+                   help="checkpoint-zoo composition: comma-separated "
+                        "component=ckpt_dir pairs grafted over "
+                        "--checkpoint-dir (e.g. classifier=ck_cls) — the "
+                        "reference's hand-assembled eval zoo "
+                        "(TDAA_beta/main_run_sstune_TestVer.py:557-579)")
     args = p.parse_args(argv)
 
     if args.mode == "memory":
@@ -165,6 +171,14 @@ def main(argv=None):
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
         print(f"restored step {int(state.step)} from {args.checkpoint_dir}")
+    if args.graft:
+        from dl4ss_tpu.train.checkpoint import load_components
+        pairs = [kv.split("=", 1) for kv in args.graft.split(",")]
+        if not all(len(kv) == 2 for kv in pairs):
+            raise SystemExit("--graft wants component=ckpt_dir pairs, "
+                             f"got {args.graft!r}")
+        state = load_components(state, dict(pairs))
+        print(f"grafted components: {', '.join(kv[0] for kv in pairs)}")
     if args.mode == "recursive":
         from dl4ss_tpu.train.steps import make_recursive_eval_step
         ev = make_recursive_eval_step(cfg)

@@ -128,6 +128,11 @@ def main(argv=None):
                    help="separate the FULL file via overlapped chunking "
                         "with cross-chunk channel alignment (the reference "
                         "hard-crops at MAX_LEN)")
+    p.add_argument("--graft", default=None,
+                   help="checkpoint-zoo composition: comma-separated "
+                        "component=ckpt_dir pairs grafted over "
+                        "--checkpoint-dir (the recuReal zoo selection, "
+                        "main_run_multi_selfSS_recuReal.py:304-334)")
     args = p.parse_args(argv)
 
     cfg = build_cfg(args)
@@ -159,6 +164,13 @@ def main(argv=None):
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
+    if args.graft:
+        from dl4ss_tpu.train.checkpoint import load_components
+        pairs = [kv.split("=", 1) for kv in args.graft.split(",")]
+        if not all(len(kv) == 2 for kv in pairs):
+            raise SystemExit("--graft wants component=ckpt_dir pairs, "
+                             f"got {args.graft!r}")
+        state = load_components(state, dict(pairs))
     os.makedirs(args.out, exist_ok=True)
 
     if args.long:

@@ -102,6 +102,47 @@ def test_separate_cli(tmp_path, rng):
     assert any("spk1" in f for f in os.listdir(out))
 
 
+def test_evaluate_graft_cli(tmp_path):
+    """--graft composes a checkpoint zoo at the CLI (the reference's
+    hand-assembled TestVer eval zoo, main_run_sstune_TestVer.py:557-579):
+    the donor's classifier must actually replace the base one."""
+    import jax.numpy as jnp
+    from dl4ss_tpu.train.checkpoint import restore_checkpoint
+    from dl4ss_tpu.train.state import create_train_state
+    from dl4ss_tpu.run.common import build_cfg
+    import argparse
+    from dl4ss_tpu.run.common import add_common_args
+    ck_a, ck_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for seed, ck in (("0", ck_a), ("1", ck_b)):
+        train_cli.main(["--preset", "synth_tiny", "--epochs", "1",
+                        "--epoch-size", "1", "--seed", seed,
+                        "--checkpoint-dir", ck,
+                        "--set", "checkpoint_every_epochs=1"])
+    sisdr = evaluate_cli.main(["--preset", "synth_tiny", "--batches", "1",
+                               "--checkpoint-dir", ck_a,
+                               "--graft", f"classifier={ck_b}"])
+    assert np.isfinite(sisdr)
+    # malformed pairs are rejected
+    with pytest.raises(SystemExit, match="component=ckpt_dir"):
+        evaluate_cli.main(["--preset", "synth_tiny", "--batches", "1",
+                           "--checkpoint-dir", ck_a, "--graft", "nonsense"])
+    # and the graft really swaps the subtree
+    p = add_common_args(argparse.ArgumentParser())
+    cfg = build_cfg(p.parse_args(["--preset", "synth_tiny"]))
+    import jax
+    sa = restore_checkpoint(ck_a, create_train_state(jax.random.PRNGKey(0),
+                                                     cfg))
+    sb = restore_checkpoint(ck_b, create_train_state(jax.random.PRNGKey(0),
+                                                     cfg))
+    from dl4ss_tpu.train.checkpoint import load_components
+    grafted = load_components(sa, {"classifier": ck_b})
+    la = jax.tree_util.tree_leaves(sa.params["classifier"])[0]
+    lb = jax.tree_util.tree_leaves(sb.params["classifier"])[0]
+    lg = jax.tree_util.tree_leaves(grafted.params["classifier"])[0]
+    assert not np.allclose(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(np.asarray(lg), np.asarray(lb))
+
+
 def test_evaluate_under_noise_cli(tmp_path, rng):
     """Eval-time background noise (predict.py:152-158): mixtures are
     noised before inference, sources stay the clean references, so a
