@@ -49,16 +49,23 @@ def generate_corpus(out_root: str, n_spk: int = 101, utts: int = 135,
                     seconds: float = 5.0, rate: int = 8000,
                     tr_entries: int = 20000, cv_entries: int = 5000,
                     tt_entries: int = 3000, db_range: float = 2.5,
-                    mix_ks=(2,), seed: int = 1, cv_holdout: int = 10):
+                    mix_ks=(2,), seed: int = 1, cv_holdout: int = 10,
+                    timbre: bool = True):
     """Writes the tree + lists. Returns a stats dict. The last `cv_holdout`
     utterances of every speaker feed cv/tt only (held-out content, seen
-    speakers — the official cv protocol draws cv from si_tr_s too)."""
+    speakers — the official cv protocol draws cv from si_tr_s too).
+
+    timbre=True gives every speaker a fixed harmonic envelope on top of its
+    f0 (see make_synthetic_bank): without it, exact speaker ID from unseen
+    utterances is near-unidentifiable at 101 speakers, which caps every
+    classifier-driven workflow the rehearsal is meant to exercise."""
     from dl4ss_tpu.data.synth import make_synthetic_bank
 
     rng = np.random.default_rng(seed)
     spks = _speaker_ids(n_spk)
     t0 = time.time()
-    bank = make_synthetic_bank(seed, n_spk, utts, int(seconds * rate), rate)
+    bank = make_synthetic_bank(seed, n_spk, utts, int(seconds * rate), rate,
+                               timbre=timbre)
     gen_s = time.time() - t0
 
     t0 = time.time()

@@ -45,18 +45,41 @@ def normalize_utterance(wav: jax.Array, eps: float = 1e-8) -> jax.Array:
 
 
 def make_synthetic_bank(seed: int, num_speakers: int, utts_per_speaker: int,
-                        num_samples: int, rate: int = 8000) -> np.ndarray:
-    """(S, U, N) float32 bank of harmonic speech-like utterances."""
+                        num_samples: int, rate: int = 8000,
+                        timbre: bool = False) -> np.ndarray:
+    """(S, U, N) float32 bank of harmonic speech-like utterances.
+
+    timbre=False (default, all historical demo numbers): a speaker's only
+    cross-utterance invariant is its f0 — with ~100 speakers over the
+    80-280 Hz range the +/-4% per-utterance jitter overlaps neighboring
+    speakers, so exact speaker ID from HELD-OUT utterances is nearly
+    unidentifiable by construction (measured: ~10% top-2 recall at 101
+    speakers).
+    timbre=True additionally fixes a per-speaker harmonic amplitude
+    envelope (the voice's spectral signature, as real voices have), making
+    speaker identity learnable across utterances — used by the rehearsal
+    corpus so classifier-driven workflows are meaningful at scale.
+    """
     rng = np.random.default_rng(seed)
     t = np.arange(num_samples) / rate
     f0s = rng.uniform(80.0, 280.0, num_speakers)
+    # log-uniform over [0.02, 1]: wide per-speaker spectral contrast, the
+    # identity signal a nearest-neighbor probe recovers at >0.9 accuracy
+    # (tests/test_data.py::test_synthetic_bank_timbre_identifiability)
+    prof = (np.exp(rng.uniform(np.log(0.02), 0.0, (num_speakers, 8)))
+            if timbre else None)
     bank = np.zeros((num_speakers, utts_per_speaker, num_samples), np.float32)
     for s in range(num_speakers):
         for u in range(utts_per_speaker):
             f0 = f0s[s] * (1.0 + 0.04 * rng.standard_normal())
             sig = np.zeros_like(t)
             for h in range(1, 9):
-                amp = rng.uniform(0.2, 1.0) / h
+                if timbre:
+                    # speaker-fixed envelope, utterance-level +/-8% shimmer
+                    amp = (prof[s, h - 1]
+                           * (1.0 + 0.08 * rng.standard_normal()) / h)
+                else:
+                    amp = rng.uniform(0.2, 1.0) / h
                 vib = 1.0 + 0.01 * np.sin(2 * np.pi * rng.uniform(2, 6) * t)
                 sig += amp * np.sin(2 * np.pi * h * f0 * vib * t
                                     + rng.uniform(0, 2 * np.pi))

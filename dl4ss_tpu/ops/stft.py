@@ -194,6 +194,11 @@ def masked_resynthesis(spec: jax.Array, masks: jax.Array, cfg,
     iDFT + overlap-add fused in one VMEM-resident kernel. Magnitude masks
     only; the cRM path resynthesizes from its predicted complex spectrum.
 
+    INFERENCE/EVAL ONLY under use_pallas_stft: the fused kernel defines no
+    VJP (training losses that resynthesize — loss_mode=si_sdr — keep the
+    XLA istft path in train/steps.py, where XLA differentiates the same
+    math).
+
     spec (B, T, F) complex mixture, masks (B, K, T, F) -> (B, K, length).
     """
     if cfg.use_pallas_stft:

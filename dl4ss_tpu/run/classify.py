@@ -42,9 +42,24 @@ def main(argv=None):
                         "(valid | test | train)")
     p.add_argument("--mix-k", default="2",
                    help="mixture speaker count(s), comma-separated")
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training: restore --checkpoint-dir and report "
+                        "the metric suite on the eval split (the "
+                        "test_multi_labels_speech_metrics.py eval fork)")
     args = p.parse_args(argv)
+    if args.eval_only and not args.checkpoint_dir:
+        raise SystemExit("--eval-only needs --checkpoint-dir")
 
     cfg = build_cfg(args)
+    if args.eval_only:
+        # state shapes AND the optimizer-state pytree (lr_schedule changes
+        # it) must come from the TRAINING config; CLI overrides win on top
+        # — the same ck-config adoption as run.evaluate/run.separate
+        from dl4ss_tpu.run.common import apply_overrides
+        from dl4ss_tpu.train.checkpoint import load_cfg
+        ck_cfg = load_cfg(args.checkpoint_dir)
+        if ck_cfg is not None:
+            cfg = apply_overrides(ck_cfg, args)
     sampler = eval_iter = None
     if args.list_dir:
         import os
@@ -76,11 +91,17 @@ def main(argv=None):
         args.eval_batches = n_ev
     else:
         bank, cfg, _ = load_bank(cfg, args)
-    state, _ = train_loop(cfg, bank=bank, max_epochs=args.epochs,
-                          epoch_size=args.epoch_size, seed=args.seed,
-                          mode="classifier", metrics_path=args.metrics,
-                          checkpoint_dir=args.checkpoint_dir, eval_every=0,
-                          sampler=sampler)
+    if args.eval_only:
+        from dl4ss_tpu.train.state import create_train_state
+        state = create_train_state(jax.random.PRNGKey(args.seed), cfg)
+        state = restore_checkpoint(args.checkpoint_dir, state)
+        print(f"restored step {int(state.step)} from {args.checkpoint_dir}")
+    else:
+        state, _ = train_loop(cfg, bank=bank, max_epochs=args.epochs,
+                              epoch_size=args.epoch_size, seed=args.seed,
+                              mode="classifier", metrics_path=args.metrics,
+                              checkpoint_dir=args.checkpoint_dir,
+                              eval_every=0, sampler=sampler)
 
     # held-out metrics (the test_multi_labels_speech_metrics.py report)
     probs_all, targets_all = [], []

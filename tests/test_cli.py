@@ -102,6 +102,24 @@ def test_separate_cli(tmp_path, rng):
     assert any("spk1" in f for f in os.listdir(out))
 
 
+def test_classify_eval_only_cli(tmp_path):
+    """--eval-only restores a trained classifier checkpoint and reports the
+    metric suite without training (the metrics eval fork, A27)."""
+    ck = str(tmp_path / "ck")
+    # non-default lr_schedule changes the optimizer-state pytree: eval-only
+    # must rebuild from the checkpoint's recorded config or restore fails
+    classify_cli.main(["--preset", "synth_tiny", "--epochs", "1",
+                       "--epoch-size", "2", "--checkpoint-dir", ck,
+                       "--set", "checkpoint_every_epochs=1",
+                       "--set", "lr_schedule=halve_50"])
+    report = classify_cli.main(["--preset", "synth_tiny",
+                                "--checkpoint-dir", ck, "--eval-only"])
+    assert 0.0 <= report["element_acc"] <= 1.0
+    assert "top3_recall" in report
+    with pytest.raises(SystemExit, match="needs --checkpoint-dir"):
+        classify_cli.main(["--preset", "synth_tiny", "--eval-only"])
+
+
 def test_evaluate_graft_cli(tmp_path):
     """--graft composes a checkpoint zoo at the CLI (the reference's
     hand-assembled TestVer eval zoo, main_run_sstune_TestVer.py:557-579):
