@@ -112,8 +112,11 @@ def _gru_fwd_kernel(xp_ref, wh_ref, bhn_ref, hs_ref, h_scr,
             h = h_scr[d]                                # (B, Hp)
             a = _mm(h, wh_ref[d])                       # (B, 3Hp) fused gates
             xpd = xp_ref[s, d].astype(jnp.float32)
-            rr = jax.nn.sigmoid(xpd[:, :hp] + a[:, :hp])
-            zz = jax.nn.sigmoid(xpd[:, hp:2 * hp] + a[:, hp:2 * hp])
+            # r and z are adjacent in the fused layout: ONE sigmoid over the
+            # 2Hp slice (Hp is a 128 multiple, so both sub-slices are
+            # lane-aligned) instead of two VPU ops per step per direction
+            rz = jax.nn.sigmoid(xpd[:, :2 * hp] + a[:, :2 * hp])
+            rr, zz = rz[:, :hp], rz[:, hp:]
             hn = a[:, 2 * hp:] + bhn_ref[d]
             nn = jnp.tanh(xpd[:, 2 * hp:] + rr * hn)
             h = (1.0 - zz) * nn + zz * h.astype(jnp.float32)
@@ -173,8 +176,8 @@ def _gru_bwd_kernel(xp_ref, wh_ref, bhn_ref, hprev_ref, dhs_ref,
             # recompute the forward activations for this step (one matmul)
             a = _mm(hprev_ref[s, d], wh_ref[d])
             xpd = xp_ref[s, d].astype(jnp.float32)
-            rr = jax.nn.sigmoid(xpd[:, :hp] + a[:, :hp])
-            zz = jax.nn.sigmoid(xpd[:, hp:2 * hp] + a[:, hp:2 * hp])
+            rz = jax.nn.sigmoid(xpd[:, :2 * hp] + a[:, :2 * hp])
+            rr, zz = rz[:, :hp], rz[:, hp:]
             hn = a[:, 2 * hp:] + bhn_ref[d]
             nn = jnp.tanh(xpd[:, 2 * hp:] + rr * hn)
 
@@ -263,8 +266,9 @@ def _lstm_fwd_kernel(xp_ref, wh_ref, hs_ref, cs_ref, h_scr, c_scr,
             h, c = h_scr[d], c_scr[d].astype(jnp.float32)
             a = (xp_ref[s, d].astype(jnp.float32)
                  + _mm(h, wh_ref[d]))                   # (B, 4Hp) fused
-            ii = jax.nn.sigmoid(a[:, :hp])
-            ff = jax.nn.sigmoid(a[:, hp:2 * hp])
+            # i and f are adjacent: one sigmoid over the 2Hp slice
+            iff = jax.nn.sigmoid(a[:, :2 * hp])
+            ii, ff = iff[:, :hp], iff[:, hp:]
             gg = jnp.tanh(a[:, 2 * hp:3 * hp])
             oo = jax.nn.sigmoid(a[:, 3 * hp:])
             c = ff * c + ii * gg
@@ -324,8 +328,8 @@ def _lstm_bwd_kernel(xp_ref, wh_ref, hprev_ref, cprev_ref, cs_ref, dhs_ref,
             c = cs_ref[s, d].astype(jnp.float32)
             a = (xp_ref[s, d].astype(jnp.float32)
                  + _mm(hprev_ref[s, d], wh_ref[d]))
-            ii = jax.nn.sigmoid(a[:, :hp])
-            ff = jax.nn.sigmoid(a[:, hp:2 * hp])
+            iff = jax.nn.sigmoid(a[:, :2 * hp])
+            ii, ff = iff[:, :hp], iff[:, hp:]
             gg = jnp.tanh(a[:, 2 * hp:3 * hp])
             oo = jax.nn.sigmoid(a[:, 3 * hp:])
             tc = jnp.tanh(c)
