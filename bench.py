@@ -297,10 +297,12 @@ def main():
           f"{cpu_rate_1t:.2f} mixtures/s",
           file=sys.stderr)
     best = max(rate_ref, rate_big)
-    # model math per mixture (docs/BENCHMARKS.md roofline): BiGRU 1.50 +
-    # Dense proj 2.42 + mask-head E-contraction 0.01 + STFT/iSTFT 0.12
-    # GFLOP = 4.05 GFLOP; v5e bf16 peak 197 TFLOP/s
-    mfu = best * 4.05e9 / 197e12
+    # model math per mixture at the torch_multi reference shape this file
+    # pins (docs/BENCHMARKS.md roofline): BiGRU 1.50 + Dense proj 2.42 +
+    # mask-head E-contraction 0.01 + STFT/iSTFT 0.12 GFLOP = 4.05 GFLOP.
+    # MFU is defined for the bf16 throughput run specifically (dividing an
+    # f32 rate by the bf16 peak would mislabel it if rate_ref ever won)
+    mfu = rate_big * 4.05e9 / 197e12
     print(json.dumps({
         "metric": "wsj0-2mix mixtures/sec/chip (stft->bigru->mask->istft)",
         "value": round(best, 1),

@@ -131,11 +131,18 @@ def main(argv=None):
     p.add_argument("--mix-k", default="2",
                    help="comma-separated k pools (e.g. 1,2,3)")
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--f0-only", action="store_true",
+                   help="reproduce the v1 corpus (speakers identified by f0 "
+                        "alone, no per-speaker timbre — the corpus behind "
+                        "the round-3 5.07 dB rehearsal numbers; speaker ID "
+                        "from held-out utterances is near-unidentifiable "
+                        "on it)")
     args = p.parse_args(argv)
     ks = tuple(int(x) for x in args.mix_k.split(","))
     stats = generate_corpus(args.out, args.speakers, args.utts, args.seconds,
                             tr_entries=args.tr, cv_entries=args.cv,
-                            tt_entries=args.tt, mix_ks=ks, seed=args.seed)
+                            tt_entries=args.tt, mix_ks=ks, seed=args.seed,
+                            timbre=not args.f0_only)
     for k, v in stats.items():
         print(f"{k}: {v}")
     return stats

@@ -194,9 +194,10 @@ def featurize(batch: MixtureBatch, cfg: Config):
     """
     b, k, n = batch.source_wavs.shape
     if (cfg.use_pallas_stft and not cfg.log_spectral
-            and cfg.window == "hann" and cfg.center):
-        # the fused kernel bakes the hann/centered convention; other
-        # window/center configs take the XLA matmul path below
+            and cfg.window == "hann" and cfg.center
+            and cfg.frame_length % cfg.frame_shift == 0):
+        # the fused kernel bakes the hann/centered convention and hop-row
+        # framing (L % hop == 0); other configs take the XLA path below
         from dl4ss_tpu.ops.pallas_stft import pallas_spectral_feature
         mix_feat, mix_ri = pallas_spectral_feature(
             batch.mix_wav, cfg.frame_length, cfg.frame_shift)

@@ -201,7 +201,9 @@ def masked_resynthesis(spec: jax.Array, masks: jax.Array, cfg,
 
     spec (B, T, F) complex mixture, masks (B, K, T, F) -> (B, K, length).
     """
-    if cfg.use_pallas_stft:
+    # the kernel's hop-row framing needs L % hop == 0 (true for the
+    # reference's 256/128); other valid hops take the XLA route below
+    if cfg.use_pallas_stft and cfg.frame_length % cfg.frame_shift == 0:
         from dl4ss_tpu.ops.pallas_stft import pallas_masked_istft
         return pallas_masked_istft(
             jnp.real(spec), jnp.imag(spec), masks, cfg.frame_length,

@@ -62,25 +62,40 @@ def main(argv=None):
             cfg = apply_overrides(ck_cfg, args)
     sampler = eval_iter = None
     if args.list_dir:
+        import json
         import os
         from dl4ss_tpu.data.listsampler import Wsj0MixSampler
         from dl4ss_tpu.data.wsj0mix import mix_list_name
         root = args.wav_root or "."
         mix_ks = tuple(int(x) for x in str(args.mix_k).split(","))
-        sampler = Wsj0MixSampler(args.list_dir, root, cfg, args.split,
-                                 mix_ks=mix_ks)
-        cfg = cfg.replace(num_speakers=sampler.num_speakers)
-        bank = None
         # metric split under the TRAIN vocabulary (speaker -> label column
         # is an artifact of the tr lists; unknown cv/tt speakers would
-        # otherwise re-number the label space)
+        # otherwise re-number the label space). Eval-only takes it from the
+        # vocab.json sidecar run.train records beside the checkpoints —
+        # both for correctness (the eval split's lists could re-number a
+        # same-size speaker set without any shape error) and to skip
+        # decoding the whole train bank just to derive a dict.
+        spk2idx = None
+        vp = (os.path.join(args.checkpoint_dir, "vocab.json")
+              if args.checkpoint_dir else "")
+        if args.eval_only and os.path.exists(vp):
+            with open(vp) as fh:
+                spk2idx = json.load(fh)
+            cfg = cfg.replace(num_speakers=max(cfg.num_speakers,
+                                               len(spk2idx)))
+        else:
+            sampler = Wsj0MixSampler(args.list_dir, root, cfg, args.split,
+                                     mix_ks=mix_ks)
+            cfg = cfg.replace(num_speakers=sampler.num_speakers)
+            spk2idx = sampler.spk2idx
+        bank = None
         ev_split = args.eval_split
         if not any(os.path.exists(os.path.join(args.list_dir,
                                                mix_list_name(k, ev_split)))
                    for k in mix_ks):
             ev_split = args.split
         ev_sampler = Wsj0MixSampler(args.list_dir, root, cfg, ev_split,
-                                    mix_ks=mix_ks, spk2idx=sampler.spk2idx)
+                                    mix_ks=mix_ks, spk2idx=spk2idx)
         n_ev = min(args.eval_batches,
                    ev_sampler.num_batches(cfg.batch_size_eval))
         if n_ev == 0:

@@ -55,6 +55,21 @@ def build_cfg(args) -> Config:
     return apply_overrides(preset(args.preset), args).validate()
 
 
+def apply_graft(state, graft_arg: str):
+    """Parse/validate a --graft value ('component=ckpt_dir[,...]', the
+    reference's hand-assembled checkpoint zoo, TestVer:557-579) and load
+    the named component subtrees over `state`. Shared by the evaluate and
+    separate CLIs so the contract stays in one place."""
+    pairs = [kv.split("=", 1) for kv in graft_arg.split(",")]
+    if not all(len(kv) == 2 and kv[0] and kv[1] for kv in pairs):
+        raise SystemExit("--graft wants component=ckpt_dir pairs, "
+                         f"got {graft_arg!r}")
+    from dl4ss_tpu.train.checkpoint import load_components
+    state = load_components(state, dict(pairs))
+    print(f"grafted components: {', '.join(kv[0] for kv in pairs)}")
+    return state
+
+
 def load_noise_bank(noise_dir: str, cfg: Config):
     """Background-noise wavs, loaded RAW (the reference adds 0.3x the
     decoded noise wav, not a peak-normalized one —

@@ -97,6 +97,11 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.mode == "memory":
+        if args.graft:
+            raise SystemExit(
+                "--graft is not wired into --mode memory (the memory "
+                "evaluator builds its own state); graft-compose with the "
+                "top-k/recursive evaluators, or retrain the memory model")
         return _memory_eval(args)
     if args.mode == "recursive" and (args.dedup or args.teacher_forced
                                      or args.complement_mask):
@@ -172,13 +177,8 @@ def main(argv=None):
         state = restore_checkpoint(args.checkpoint_dir, state)
         print(f"restored step {int(state.step)} from {args.checkpoint_dir}")
     if args.graft:
-        from dl4ss_tpu.train.checkpoint import load_components
-        pairs = [kv.split("=", 1) for kv in args.graft.split(",")]
-        if not all(len(kv) == 2 for kv in pairs):
-            raise SystemExit("--graft wants component=ckpt_dir pairs, "
-                             f"got {args.graft!r}")
-        state = load_components(state, dict(pairs))
-        print(f"grafted components: {', '.join(kv[0] for kv in pairs)}")
+        from dl4ss_tpu.run.common import apply_graft
+        state = apply_graft(state, args.graft)
     if args.mode == "recursive":
         from dl4ss_tpu.train.steps import make_recursive_eval_step
         ev = make_recursive_eval_step(cfg)

@@ -165,12 +165,8 @@ def main(argv=None):
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
     if args.graft:
-        from dl4ss_tpu.train.checkpoint import load_components
-        pairs = [kv.split("=", 1) for kv in args.graft.split(",")]
-        if not all(len(kv) == 2 for kv in pairs):
-            raise SystemExit("--graft wants component=ckpt_dir pairs, "
-                             f"got {args.graft!r}")
-        state = load_components(state, dict(pairs))
+        from dl4ss_tpu.run.common import apply_graft
+        state = apply_graft(state, args.graft)
     os.makedirs(args.out, exist_ok=True)
 
     if args.long:

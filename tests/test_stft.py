@@ -152,3 +152,18 @@ def test_masked_resynthesis_helper_matches_phasor_path(rng):
         got = np.asarray(masked_resynthesis(
             spec, masks, cfg.replace(use_pallas_stft=flag), length=8000))
         np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_masked_resynthesis_non_divisible_hop_falls_back(rng):
+    """use_pallas_stft with L % hop != 0 must take the XLA route (the
+    kernel's hop-row framing requires divisibility), not crash."""
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.ops.stft import masked_resynthesis
+    cfg = preset("torch_multi").replace(use_pallas_stft=True,
+                                        frame_shift=96)
+    x = jnp.asarray(rng.standard_normal((1, 4000)).astype(np.float32))
+    spec = stft(x, cfg.frame_length, cfg.frame_shift)
+    masks = jnp.ones((1, 2) + spec.shape[1:], jnp.float32)
+    out = masked_resynthesis(spec, masks, cfg, length=4000)
+    assert out.shape == (1, 2, 4000)
+    assert np.isfinite(np.asarray(out)).all()
