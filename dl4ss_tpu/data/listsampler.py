@@ -44,7 +44,43 @@ def mix_from_list(bank: jax.Array, utt_idx: jax.Array, gains_db: jax.Array,
         gains = gains * live.astype(gains.dtype)
     sources = wavs * gains[..., None]
     return MixtureBatch(mix_wav=jnp.sum(sources, axis=1),
-                        source_wavs=sources, spk_idx=spk_idx, gains=gains)
+                        source_wavs=sources, spk_idx=spk_idx, gains=gains,
+                        utt_idx=utt_idx)
+
+
+def draw_same_speaker_rows(key: jax.Array, spk_idx: jax.Array,
+                           utt_idx: jax.Array, spk_rows: jax.Array,
+                           spk_counts: jax.Array) -> jax.Array:
+    """For each (batch, channel) speaker, a bank row of a DIFFERENT random
+    utterance of the same speaker — the dis-sp real-pool draw from the list
+    vocabulary (predata_fromList_dis.py:37-66). `spk_rows` (S, Umax) holds
+    each speaker's bank rows (padded by repetition), `spk_counts` (S,) the
+    live prefix lengths. Speakers with a single utterance degenerate to that
+    utterance (nothing else to draw)."""
+    counts = spk_counts[spk_idx]                       # (B, K)
+    r = jax.random.randint(key, spk_idx.shape, 0, 1 << 30) % counts
+    drawn = spk_rows[spk_idx, r]
+    # collision with the mixed utterance: step to the next row (mod count)
+    bumped = spk_rows[spk_idx, (r + 1) % counts]
+    return jnp.where((drawn == utt_idx) & (counts > 1), bumped, drawn)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def list_same_speaker_real_specs(key: jax.Array, batch: MixtureBatch,
+                                 bank: jax.Array, spk_rows: jax.Array,
+                                 spk_counts: jax.Array,
+                                 cfg: Config) -> jax.Array:
+    """dis-sp "real" pool for list-driven training: clean magnitude spectra
+    of different utterances of the mixed speakers, drawn from the list
+    vocabulary's utterance pool (predata_fromList_dis.py:37-66, consumed by
+    main_run_sstune_dis_sp.py:613-624). Returns (B, K, T, F) for
+    feats["real_specs"], in the same |STFT| convention as featurize's
+    src_feas."""
+    from dl4ss_tpu.ops.stft import stft_cfg
+    rows = draw_same_speaker_rows(key, batch.spk_idx, batch.utt_idx,
+                                  spk_rows, spk_counts)
+    wavs = normalize_utterance(bank[rows])
+    return jnp.abs(stft_cfg(wavs, cfg))
 
 
 class Wsj0MixSampler:
@@ -96,6 +132,24 @@ class Wsj0MixSampler:
         paths = [os.path.join(wav_root, p) for p in uniq]
         from dl4ss_tpu.data.dirtree import _load_bank
         self.bank = _load_bank(paths, cfg.frame_rate, cfg.max_len)
+
+        # per-speaker utterance-row table (dis-sp same-speaker real pool,
+        # predata_fromList_dis.py:37-66): rows (S, Umax) padded by repeating
+        # the speaker's rows, counts (S,) the live prefix lengths
+        by_spk: dict = {i: [] for i in self.idx2spk}
+        for e in self.entries:
+            for s, p in zip(e.speakers, e.paths):
+                si = self.spk2idx[s]
+                r = self.utt2row[p]
+                if r not in by_spk[si]:
+                    by_spk[si].append(r)
+        umax = max(len(v) for v in by_spk.values())
+        self.spk_rows = np.zeros((len(by_spk), umax), np.int32)
+        self.spk_counts = np.zeros((len(by_spk),), np.int32)
+        for si, rows in by_spk.items():
+            rep = (rows * umax)[:umax]
+            self.spk_rows[si] = rep
+            self.spk_counts[si] = len(rows)
 
         # per-k index arrays, padded to the static width self.k (padded
         # channels: utterance row 0, speaker 0, live 0 — zero-gained in

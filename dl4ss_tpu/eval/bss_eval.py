@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 import itertools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -183,3 +183,105 @@ def bss_eval_sources(ref: jax.Array, est: jax.Array, flen: int = 512,
 def nsdr(sdr_pred: jax.Array, sdr_mix: jax.Array) -> jax.Array:
     """NSDR = SDR(pred) - SDR(mix-as-pred) (BSS_EVAL.m:16-21)."""
     return sdr_pred - sdr_mix
+
+
+# ---------------------------------------------------------------------------
+# BSS-Eval 2.0 gain decomposition (bss_decomp_gain + bss_crit)
+# ---------------------------------------------------------------------------
+#
+# The Keras stacks score with BSS-Eval **2.0**, not v3: the allowed
+# distortion of the target is a single time-invariant scalar gain, and the
+# interference space is the span of the source signals themselves (no
+# 512-tap filters) — MATLAB `bss_decomp_gain(se, index, S)` + `bss_crit`
+# (Cocktail/software/DL4SS_Keras/BSS_EVAL.m:8-21). The reference computes
+# the prediction's SDR against orig=[noise; signal] (both sources span the
+# projection) and the NSDR baseline against the TARGET ALONE
+# (`bss_decomp_gain(wav_mix, 1, wav_truth_signal)`, BSS_EVAL.m:14-16).
+
+
+def bss_decomp_gain_numpy(est: np.ndarray, index: int, sources: np.ndarray):
+    """Transparent oracle of MATLAB bss_decomp_gain (0-based `index`).
+
+    est (N,), sources (K, N) float64 ->
+      s_target = <est, s_i>/||s_i||^2 * s_i        (scalar-gain projection)
+      e_interf = P_{span(sources)} est - s_target  (time-invariant gains)
+      e_artif  = est - P_{span(sources)} est
+    """
+    est = np.asarray(est, np.float64)
+    s = np.asarray(sources, np.float64)
+    si = s[index]
+    s_target = (est @ si) / (si @ si) * si
+    coef, *_ = np.linalg.lstsq(s.T, est, rcond=None)
+    p_all = s.T @ coef
+    return s_target, p_all - s_target, est - p_all
+
+
+def bss_crit_numpy(s_target, e_interf, e_artif):
+    """bss_crit: SDR / SIR / SAR from a gain decomposition (BSS_EVAL.m:10-13).
+    With a single source e_interf is exactly 0 and SIR is +inf."""
+    pt = np.sum(np.asarray(s_target) ** 2)
+    pi = np.sum(np.asarray(e_interf) ** 2)
+    pa = np.sum(np.asarray(e_artif) ** 2)
+    with np.errstate(divide="ignore"):
+        sdr = 10 * np.log10(pt / (pi + pa))
+        sir = 10 * np.log10(pt / pi) if pi > 0 else np.inf
+        sar = 10 * np.log10(np.sum((np.asarray(s_target)
+                                    + np.asarray(e_interf)) ** 2) / pa)
+    return sdr, sir, sar
+
+
+@functools.partial(jax.jit, static_argnames=("target_index",))
+def bss_eval_gain(ref: jax.Array, est: jax.Array,
+                  target_index: int = 0, ridge: float = 1e-10) -> BssResult:
+    """Batched BSS-Eval 2.0 gain decomposition on device.
+
+    ref (B, K, N) sources (dead/zero rows are tolerated via the tiny ridge:
+    their gain solves to 0 and they never enter the projection), est (B, N)
+    one estimate per mixture, `target_index` the target's channel. Returns
+    BssResult with (B,) sdr/sir/sar; perm is the constant target index
+    (gain decomposition has designated channels, nothing to permute —
+    BSS_EVAL.m:10-16). All inner products are HIGHEST-precision matmuls.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    ref = ref.astype(jnp.float32)
+    est = est.astype(jnp.float32)
+    b, k, n = ref.shape
+    si = ref[:, target_index]                                   # (B, N)
+    num = jnp.einsum("bn,bn->b", est, si, precision=hp)
+    den = jnp.maximum(jnp.einsum("bn,bn->b", si, si, precision=hp), 1e-20)
+    s_target = (num / den)[:, None] * si                        # (B, N)
+    gram = jnp.einsum("bkn,bln->bkl", ref, ref, precision=hp)   # (B, K, K)
+    rhs = jnp.einsum("bkn,bn->bk", ref, est, precision=hp)      # (B, K)
+    eye = jnp.eye(k, dtype=jnp.float32)
+    coef = jnp.linalg.solve(gram + ridge * eye, rhs[..., None])[..., 0]
+    p_all = jnp.einsum("bk,bkn->bn", coef, ref, precision=hp)   # (B, N)
+    e_interf = p_all - s_target
+    e_artif = est - p_all
+
+    def _db(a, bb, eps=1e-20):
+        return 10.0 * jnp.log10(jnp.maximum(a, eps) / jnp.maximum(bb, eps))
+
+    pt = jnp.sum(s_target ** 2, axis=-1)
+    pi = jnp.sum(e_interf ** 2, axis=-1)
+    pa = jnp.sum(e_artif ** 2, axis=-1)
+    sdr = _db(pt, pi + pa)
+    sir = _db(pt, pi)
+    sar = _db(jnp.sum((s_target + e_interf) ** 2, axis=-1), pa)
+    return BssResult(sdr, sir, sar,
+                     jnp.full((b,), target_index, jnp.int32))
+
+
+def gain_nsdr(pred: jax.Array, mix: jax.Array, sources: jax.Array,
+              live: Optional[jax.Array] = None,
+              target_index: int = 0):
+    """The full Cocktail metric contract (BSS_EVAL.m:8-21): SDR/SIR/SAR of
+    `pred` against ALL sources, NSDR = SDR - SDR(mix projected onto the
+    TARGET ALONE). pred/mix (B, N), sources (B, K, N) with channel 0 the
+    target by the Cocktail first-speaker-is-target convention; `live`
+    (B, K) optionally zeroes dead padded channels before the solve."""
+    if live is not None:
+        sources = sources * live[..., None].astype(sources.dtype)
+    res = bss_eval_gain(sources, pred, target_index=target_index)
+    base = bss_eval_gain(sources[:, target_index:target_index + 1], mix,
+                         target_index=0)
+    return res, res.sdr - base.sdr

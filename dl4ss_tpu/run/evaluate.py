@@ -338,6 +338,8 @@ def _memory_eval(args):
             f"checkpoint was trained with {cfg.num_speakers}")
     ev = make_memory_eval_step(cfg, args.query_source)
 
+    from dl4ss_tpu.eval.bss_eval import gain_nsdr
+
     def _score(memory, batch, spk_id):
         feats = featurize(batch, cfg)
         mix_mag, target_mag = linear_target_mags(feats, batch, cfg)
@@ -351,7 +353,14 @@ def _memory_eval(args):
         target = batch.source_wavs[:, 0]
         pred_sdr = si_sdr(wav, target)
         mix_sdr = si_sdr(batch.mix_wav, target)
-        return np.asarray(pred_sdr), np.asarray(pred_sdr - mix_sdr)
+        # the reference metric: BSS-Eval 2.0 gain decomposition + NSDR
+        # against the target-alone mixture baseline (BSS_EVAL.m:8-21)
+        res, g_ns = gain_nsdr(wav, batch.mix_wav, batch.source_wavs,
+                              live=(batch.gains > 0))
+        gain = {k: np.asarray(v) for k, v in
+                (("sdr", res.sdr), ("sir", res.sir), ("sar", res.sar),
+                 ("nsdr", g_ns))}
+        return np.asarray(pred_sdr), np.asarray(pred_sdr - mix_sdr), gain
 
     # ---- unknown-speaker bank --------------------------------------------
     unk_bank = None
@@ -367,18 +376,24 @@ def _memory_eval(args):
     if unk_bank is None:
         # known-speaker protocol: memory rows from training drive the mask
         n_b = args.batches if args.batches is not None else 4
-        sdrs, gains = [], []
+        sdrs, gains, g_rows = [], [], []
         for _ in range(n_b):
             key, sub = jax.random.split(key)
             batch = sample_mixtures(sub, bank, cfg, train=False)
-            s, g = _score(state.memory, batch, batch.spk_idx[:, 0])
+            s, g, gr = _score(state.memory, batch, batch.spk_idx[:, 0])
             sdrs.append(s)
             gains.append(g)
+            g_rows.append(gr)
         sisdr = float(np.mean(np.concatenate(sdrs)))
         ns = float(np.mean(np.concatenate(gains)))
+        gm = {k: float(np.mean(np.concatenate([r[k] for r in g_rows])))
+              for k in g_rows[0]}
         print(f"memory-eval SI-SDR over {n_b} batches: "
-              f"{sisdr:.2f} dB (NSDR {ns:+.2f} dB)")
-        return {"si_sdr": sisdr, "nsdr": ns}
+              f"{sisdr:.2f} dB (SI-SDR NSDR {ns:+.2f} dB)")
+        print(f"BSS-Eval 2.0 gain (BSS_EVAL.m): SDR {gm['sdr']:.2f} "
+              f"SIR {gm['sir']:.2f} SAR {gm['sar']:.2f} "
+              f"NSDR {gm['nsdr']:+.2f} dB")
+        return {"si_sdr": sisdr, "nsdr": ns, "gain": gm}
 
     if args.query_source != "speech":
         raise SystemExit("unknown-speaker enrollment is the voiceprint "
@@ -407,7 +422,7 @@ def _memory_eval(args):
         memory = enroll(state.params, memory, cfg, row, efeat,
                         args.query_source)
     b = cfg.batch_size_eval
-    sdrs, gains = [], []
+    sdrs, gains, g_rows = [], [], []
     for u in range(n_unk):
         # b mixtures: unk target utterance + one random trained interferer
         key, k1, k2 = jax.random.split(key, 3)
@@ -421,15 +436,21 @@ def _memory_eval(args):
                              spk.astype(jnp.int32)], axis=1)
         batch = mix_from_list(flat, utt_idx,
                               jnp.zeros((b, 2), jnp.float32), spk_idx, cfg)
-        s, g = _score(memory, batch, spk_idx[:, 0])
+        s, g, gr = _score(memory, batch, spk_idx[:, 0])
         sdrs.append(s)
         gains.append(g)
+        g_rows.append(gr)
     sisdr = float(np.mean(np.concatenate(sdrs)))
     ns = float(np.mean(np.concatenate(gains)))
+    gm = {k: float(np.mean(np.concatenate([r[k] for r in g_rows])))
+          for k in g_rows[0]}
     print(f"unk-speaker eval ({n_unk} speakers, "
           f"{args.enroll_seconds:.2f}s enrollment): SI-SDR {sisdr:.2f} dB "
-          f"(NSDR {ns:+.2f} dB)")
-    return {"si_sdr": sisdr, "nsdr": ns, "n_unk": n_unk}
+          f"(SI-SDR NSDR {ns:+.2f} dB)")
+    print(f"BSS-Eval 2.0 gain (BSS_EVAL.m): SDR {gm['sdr']:.2f} "
+          f"SIR {gm['sir']:.2f} SAR {gm['sar']:.2f} "
+          f"NSDR {gm['nsdr']:+.2f} dB")
+    return {"si_sdr": sisdr, "nsdr": ns, "n_unk": n_unk, "gain": gm}
 
 
 if __name__ == "__main__":

@@ -102,20 +102,34 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
     writer = MetricsWriter(metrics_path)
     if sampler is not None:
         # list-driven training: every step consumes the next list batch
-        if dis_sp:
-            raise NotImplementedError(
-                "dis-sp real pools are drawn from the speaker bank; list "
-                "mode supports joint/classifier/adversarial (dis-ss)")
+        if dis_sp and mode != "adversarial":
+            raise ValueError("--dis-sp only applies to adversarial mode")
         step_fn = {"joint": make_train_step,
                    "dense": make_dense_train_step,
                    "adversarial": make_adversarial_step,
                    "classifier": make_classifier_step}[mode](cfg, epoch_size)
+        sp_rows = sp_counts = None
+        if dis_sp:
+            # same-speaker real pool drawn from the list vocabulary
+            # (B10, predata_fromList_dis.py:37-66)
+            from dl4ss_tpu.data.listsampler import list_same_speaker_real_specs
+            sp_rows = jnp.asarray(sampler.spk_rows)
+            sp_counts = jnp.asarray(sampler.spk_counts)
 
         def run_epoch(state, epoch):
             last = {}
-            for batch in sampler.batches(cfg.batch_size, shuffle=True,
-                                         seed=seed + 7919 * (epoch + 1)):
+            for i, batch in enumerate(sampler.batches(
+                    cfg.batch_size, shuffle=True,
+                    seed=seed + 7919 * (epoch + 1))):
                 feats = featurize(batch, cfg)
+                if dis_sp:
+                    # host-side epoch/batch fold — no device sync per batch
+                    k_sp = jax.random.fold_in(
+                        jax.random.PRNGKey(seed + 104729),
+                        epoch * 1_000_003 + i)
+                    feats = dict(feats, real_specs=list_same_speaker_real_specs(
+                        k_sp, batch, sampler.device_bank(), sp_rows,
+                        sp_counts, cfg))
                 if mesh is not None:
                     feats = shard_batch(feats, mesh)
                 state, last = step_fn(state, feats)

@@ -327,6 +327,8 @@ def test_memory_checkpoint_then_unk_enrollment_eval(tmp_path):
                              "--set", "batch_size_eval=2"])
     assert res["n_unk"] == 2
     assert np.isfinite(res["si_sdr"]) and np.isfinite(res["nsdr"])
+    # BSS-Eval 2.0 gain metrics ride alongside (BSS_EVAL.m:8-21)
+    assert np.isfinite(res["gain"]["sdr"]) and np.isfinite(res["gain"]["nsdr"])
 
 
 def test_memory_eval_known_speakers_cli(tmp_path):
@@ -338,6 +340,7 @@ def test_memory_eval_known_speakers_cli(tmp_path):
     res = evaluate_cli.main(["--preset", "synth_tiny", "--mode", "memory",
                              "--checkpoint-dir", ck, "--batches", "1"])
     assert np.isfinite(res["si_sdr"]) and np.isfinite(res["nsdr"])
+    assert np.isfinite(res["gain"]["sdr"]) and np.isfinite(res["gain"]["sir"])
 
 
 def test_unk_eval_requires_unk_spk_config(tmp_path):

@@ -100,6 +100,68 @@ def test_bss_eval_batched(rng):
     assert res.sdr.shape == (2, 2)
 
 
+def test_bss_gain_decomposition_oracle(rng):
+    """bss_decomp_gain oracle properties (BSS_EVAL.m:10-13): components sum
+    to the estimate, s_target is the scalar projection, and a pure-gain
+    estimate decomposes with zero interference/artifacts."""
+    from dl4ss_tpu.eval.bss_eval import bss_crit_numpy, bss_decomp_gain_numpy
+    ref = _toy_sources(rng)
+    est = 0.7 * ref[1] + 0.3 * ref[0] + 0.02 * rng.standard_normal(
+        ref.shape[1])
+    st, ei, ea = bss_decomp_gain_numpy(est, 1, ref)
+    np.testing.assert_allclose(st + ei + ea, est, atol=1e-10)
+    # s_target = <est, s1>/||s1||^2 s1 exactly
+    g = (est @ ref[1]) / (ref[1] @ ref[1])
+    np.testing.assert_allclose(st, g * ref[1], atol=1e-12)
+    # e_artif orthogonal to every source (it is the lstsq residual)
+    assert np.abs(ref @ ea).max() < 1e-8
+    # pure-gain estimate: everything is target
+    st2, ei2, ea2 = bss_decomp_gain_numpy(2.5 * ref[0], 0, ref)
+    np.testing.assert_allclose(st2, 2.5 * ref[0], atol=1e-9)
+    assert np.sum(ei2 ** 2) < 1e-12 and np.sum(ea2 ** 2) < 1e-12
+    sdr, sir, sar = bss_crit_numpy(st, ei, ea)
+    assert np.isfinite(sdr) and np.isfinite(sir) and np.isfinite(sar)
+    assert sdr <= sir + 1e-9  # adding artifacts can only lower SDR
+
+
+def test_bss_eval_gain_matches_numpy_oracle(rng):
+    from dl4ss_tpu.eval.bss_eval import (bss_crit_numpy,
+                                         bss_decomp_gain_numpy,
+                                         bss_eval_gain)
+    ref = np.stack([_toy_sources(rng), _toy_sources(rng)])     # (B=2, K=2, N)
+    est = (0.8 * ref[:, 0] + 0.3 * ref[:, 1]
+           + 0.05 * rng.standard_normal(ref[:, 0].shape))
+    res = bss_eval_gain(jnp.asarray(ref), jnp.asarray(est), target_index=0)
+    for b in range(2):
+        st, ei, ea = bss_decomp_gain_numpy(est[b], 0, ref[b])
+        sdr, sir, sar = bss_crit_numpy(st, ei, ea)
+        np.testing.assert_allclose(float(res.sdr[b]), sdr, atol=0.05)
+        np.testing.assert_allclose(float(res.sir[b]), sir, atol=0.05)
+        np.testing.assert_allclose(float(res.sar[b]), sar, atol=0.05)
+
+
+def test_gain_nsdr_contract(rng):
+    """NSDR contract (BSS_EVAL.m:14-21): the baseline projects the MIXTURE
+    onto the target alone; perfect extraction has positive NSDR, and
+    mix-as-prediction has NSDR exactly 0."""
+    from dl4ss_tpu.eval.bss_eval import gain_nsdr
+    ref = np.stack([_toy_sources(rng)])                        # (1, 2, N)
+    mix = ref.sum(axis=1)
+    res, ns = gain_nsdr(jnp.asarray(ref[:, 0]), jnp.asarray(mix),
+                        jnp.asarray(ref))
+    assert float(ns[0]) > 10.0
+    res2, ns2 = gain_nsdr(jnp.asarray(mix), jnp.asarray(mix),
+                          jnp.asarray(ref))
+    np.testing.assert_allclose(np.asarray(ns2), 0.0, atol=1e-4)
+    # dead padded channel does not perturb the solve
+    ref3 = np.concatenate([ref, np.zeros_like(ref[:, :1])], axis=1)
+    live = jnp.asarray([[1.0, 1.0, 0.0]])
+    res3, ns3 = gain_nsdr(jnp.asarray(ref[:, 0]), jnp.asarray(mix),
+                          jnp.asarray(ref3), live=live)
+    np.testing.assert_allclose(float(res3.sdr[0]), float(res.sdr[0]),
+                               atol=1e-3)
+
+
 def test_classifier_metrics_vs_sklearn(rng):
     probs = rng.random((20, 6))
     targets = (rng.random((20, 6)) > 0.6).astype(np.int32)

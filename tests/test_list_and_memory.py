@@ -136,6 +136,50 @@ def test_same_speaker_real_specs():
     assert np.isfinite(np.asarray(real)).all()
 
 
+def test_list_same_speaker_real_specs(tmp_path, rng):
+    """dis-sp real pool in LIST mode (B10 at the official recipe): drawn
+    rows are valid utterances of the same speaker and differ from the mixed
+    utterance whenever the speaker has more than one."""
+    from dl4ss_tpu.data.listsampler import (draw_same_speaker_rows,
+                                            list_same_speaker_real_specs)
+    cfg = CFG.replace(max_len_seconds=0.375)
+    ldir, root = _make_wsj0_layout(tmp_path, rng, n_spk=4, n_utt=3)
+    s = Wsj0MixSampler(ldir, root, cfg, "train")
+    assert int(s.spk_counts.max()) >= 2
+    batch = next(s.batches(2, shuffle=False))
+    rows = np.asarray(draw_same_speaker_rows(
+        jax.random.PRNGKey(5), batch.spk_idx, batch.utt_idx,
+        jnp.asarray(s.spk_rows), jnp.asarray(s.spk_counts)))
+    spk = np.asarray(batch.spk_idx)
+    mixed = np.asarray(batch.utt_idx)
+    for b in range(rows.shape[0]):
+        for k in range(rows.shape[1]):
+            valid = set(s.spk_rows[spk[b, k], :s.spk_counts[spk[b, k]]])
+            assert rows[b, k] in valid
+            if s.spk_counts[spk[b, k]] > 1:
+                assert rows[b, k] != mixed[b, k]
+    real = list_same_speaker_real_specs(
+        jax.random.PRNGKey(5), batch, s.device_bank(),
+        jnp.asarray(s.spk_rows), jnp.asarray(s.spk_counts), cfg)
+    assert real.shape == (2, s.k, cfg.num_frames, cfg.freq_bins)
+    assert np.isfinite(np.asarray(real)).all()
+
+
+def test_list_dis_sp_train_loop(tmp_path, rng):
+    """One adversarial dis-sp epoch end-to-end through train_loop in list
+    mode (the round-4 wiring; previously NotImplementedError)."""
+    from dl4ss_tpu.train.loop import train_loop
+    cfg = CFG.replace(max_len_seconds=0.375, batch_size=2,
+                      use_discriminator=True, ground_truth=True)
+    ldir, root = _make_wsj0_layout(tmp_path, rng, n_spk=4, n_utt=3)
+    s = Wsj0MixSampler(ldir, root, cfg, "train")
+    cfg = cfg.replace(num_speakers=s.num_speakers)
+    state, sdr = train_loop(cfg, max_epochs=1, seed=0, mode="adversarial",
+                            dis_sp=True, sampler=s)
+    assert int(state.step) == s.num_batches(2)
+    assert len(sdr) == 1 and np.isfinite(sdr[0])
+
+
 def _memory_feats(cfg, key, bank):
     batch = sample_mixtures(key, bank, cfg)
     feats = featurize(batch, cfg)
