@@ -17,6 +17,32 @@ import time
 
 import numpy as np
 
+V5E_BF16_PEAK = 197e12   # TPU v5e bf16 peak FLOP/s (per chip)
+
+
+def model_gflops_per_mixture() -> float:
+    """Model math per mixture of the benched inference pipeline, derived
+    from the live torch_multi config (not a hardcoded constant): bidir RNN
+    gate matmuls + Dense projection + mask-head E-contraction + the
+    STFT/iSTFT DFT matmuls. 2 FLOPs per MAC."""
+    from dl4ss_tpu import preset
+    cfg = preset("torch_multi")
+    t, f, h, e = cfg.num_frames, cfg.freq_bins, cfg.hidden_units, \
+        cfg.embedding_size
+    gates = {"gru": 3, "lstm": 4}[cfg.encoder_rnn]
+    flops = 0.0
+    for layer in range(cfg.encoder_layers):
+        d_in = f if layer == 0 else 2 * h
+        # per step per direction: x@W (d_in x G*H) + h@U (H x G*H)
+        flops += 2 * t * 2 * (d_in + h) * gates * h
+    flops += 2 * t * (2 * h) * (f * e)          # Dense 2H -> F*E projection
+    flops += 2 * cfg.top_k * t * f * e          # mask-head E-contraction
+    # DFT matmuls: forward STFT of the mix + iSTFT of top_k channels,
+    # T frames x (frame_length x 2*freq_bins) each
+    flops += 2 * (1 + cfg.top_k) * t * cfg.frame_length * (2 * f)
+    return flops / 1e9
+
+
 B = 16            # CPU-reference batch (as the reference runs, B=16)
 CHECK_TOLS = {    # max-abs-err tolerances for the on-chip kernel self-check
     "gru_fwd": 2e-2, "gru_grad": 2e-2,      # bf16 single-pass MXU tiles vs
@@ -297,12 +323,13 @@ def main():
           f"{cpu_rate_1t:.2f} mixtures/s",
           file=sys.stderr)
     best = max(rate_ref, rate_big)
-    # model math per mixture at the torch_multi reference shape this file
-    # pins (docs/BENCHMARKS.md roofline): BiGRU 1.50 + Dense proj 2.42 +
-    # mask-head E-contraction 0.01 + STFT/iSTFT 0.12 GFLOP = 4.05 GFLOP.
     # MFU is defined for the bf16 throughput run specifically (dividing an
-    # f32 rate by the bf16 peak would mislabel it if rate_ref ever won)
-    mfu = rate_big * 4.05e9 / 197e12
+    # f32 rate by the bf16 peak would mislabel it if rate_ref ever won);
+    # the FLOP count is derived from the live config so a preset/shape
+    # change can never silently stale it (at the shipped torch_multi shape
+    # this evaluates to the documented 4.05 GFLOP/mixture)
+    gflop = model_gflops_per_mixture()
+    mfu = rate_big * gflop * 1e9 / V5E_BF16_PEAK
     print(json.dumps({
         "metric": "wsj0-2mix mixtures/sec/chip (stft->bigru->mask->istft)",
         "value": round(best, 1),
@@ -311,6 +338,8 @@ def main():
         "train_step_mix_s": round(train_rate, 1),
         "serve_latency_ms": round(serve_dt * 1e3, 2),
         "mfu_pct": round(100 * mfu, 1),
+        "mfu_rate_mix_s": round(rate_big, 1),   # the rate MFU divides
+        "mfu_gflop_per_mix": round(gflop, 2),
     }))
 
 

@@ -33,6 +33,39 @@ def top_k_indices(probs: jax.Array, top_k: int
     return idx, vals
 
 
+def candidate_pools(key: jax.Array, spk_idx: jax.Array, live: jax.Array,
+                    n_candidates: int, num_speakers: int) -> jax.Array:
+    """Per-sample candidate rosters for the multi-speech test protocol
+    (`aim_pro`, Torch_multi/predata_multiSpeechTest.py:89-115): each sample
+    knows a short list of POSSIBLE speakers a priori — the true mixed
+    speakers plus random distractors up to `n_candidates`. Returns a
+    (B, S) 0/1 membership mask.
+
+    Distractors are drawn without replacement from the non-true vocabulary
+    via a per-row random ranking (static shapes, jit-friendly)."""
+    b, k = spk_idx.shape
+    member = jnp.zeros((b, num_speakers), bool)
+    member = member.at[jnp.arange(b)[:, None], spk_idx].max(
+        live.astype(bool))
+    scores = jax.random.uniform(key, (b, num_speakers))
+    scores = jnp.where(member, -jnp.inf, scores)          # never re-draw true
+    n_true = jnp.sum(member, axis=-1, keepdims=True)      # (B, 1)
+    want = jnp.maximum(n_candidates - n_true, 0)
+    ranks = jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)
+    return member | (ranks < want)
+
+
+def candidate_restricted_select(probs: jax.Array, candidates: jax.Array,
+                                top_k: int) -> jax.Array:
+    """Top-k speaker selection restricted to a per-sample candidate pool —
+    the reference evaluator picks only among each sample's `aim_pro` roster
+    (predata_multiSpeechTest.py:89-115). probs (B, S); candidates (B, S)
+    boolean membership. Returns indices (B, K)."""
+    masked = jnp.where(candidates, probs, -1.0)
+    _, idx = jax.lax.top_k(masked, top_k)
+    return idx
+
+
 def cosine_dedup_select(probs: jax.Array, embeddings: jax.Array,
                         alpha: float = 0.15, top_k: int = 2,
                         two_mix_fallback: bool = True) -> jax.Array:

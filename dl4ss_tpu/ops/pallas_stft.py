@@ -248,7 +248,13 @@ def pallas_masked_istft(re: jax.Array, im: jax.Array, masks: jax.Array,
     cancels against the magnitude division."""
     assert frame_length % frame_shift == 0
     ratio = frame_length // frame_shift
-    b, k, t, _ = masks.shape
+    b, k, t, f = masks.shape
+    want = (b, t, f)
+    if re.shape != want or im.shape != want:
+        raise ValueError(
+            f"pallas_masked_istft: re/im must be the (B, T, F) mixture "
+            f"spectrum matching masks (B, K, T, F)={masks.shape}; got "
+            f"re={re.shape} im={im.shape}, expected {want}")
     rows = t + ratio - 1
     bins = frame_length // 2 + 1
     win_np = get_window(window, frame_length)

@@ -194,24 +194,59 @@ def masked_resynthesis(spec: jax.Array, masks: jax.Array, cfg,
     iDFT + overlap-add fused in one VMEM-resident kernel. Magnitude masks
     only; the cRM path resynthesizes from its predicted complex spectrum.
 
-    INFERENCE/EVAL ONLY under use_pallas_stft: the fused kernel defines no
-    VJP (training losses that resynthesize — loss_mode=si_sdr — keep the
-    XLA istft path in train/steps.py, where XLA differentiates the same
-    math).
+    Differentiable on every path: the fused Pallas kernel has no native
+    VJP, so under use_pallas_stft the backward pass recomputes through the
+    algebraically-identical XLA istft (custom_vjp below) — forward stays
+    fused; a differentiated caller (e.g. an si_sdr-style loss) pays one
+    XLA re-forward instead of hitting an opaque Pallas autodiff error.
+    (The production train steps bypass this wrapper and differentiate
+    istft_cfg directly, train/steps.py.)
 
     spec (B, T, F) complex mixture, masks (B, K, T, F) -> (B, K, length).
     """
     # the kernel's hop-row framing needs L % hop == 0 (true for the
     # reference's 256/128); other valid hops take the XLA route below
     if cfg.use_pallas_stft and cfg.frame_length % cfg.frame_shift == 0:
-        from dl4ss_tpu.ops.pallas_stft import pallas_masked_istft
-        return pallas_masked_istft(
-            jnp.real(spec), jnp.imag(spec), masks, cfg.frame_length,
-            cfg.frame_shift, window=cfg.window, center=cfg.center,
-            length=length)
+        return _fused_masked_resynthesis(jnp.real(spec), jnp.imag(spec),
+                                         masks, cfg, length)
     return istft(masks.astype(jnp.float32) * spec[:, None], cfg.frame_length,
                  cfg.frame_shift, window=cfg.window, center=cfg.center,
                  length=length)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_masked_resynthesis(re, im, masks, cfg, length):
+    from dl4ss_tpu.ops.pallas_stft import pallas_masked_istft
+    return pallas_masked_istft(re, im, masks, cfg.frame_length,
+                               cfg.frame_shift, window=cfg.window,
+                               center=cfg.center, length=length)
+
+
+def _xla_masked_resynthesis(re, im, masks, cfg, length):
+    spec = (re + 1j * im)[:, None]
+    return istft(masks.astype(jnp.float32) * spec, cfg.frame_length,
+                 cfg.frame_shift, window=cfg.window, center=cfg.center,
+                 length=length)
+
+
+def _fused_mr_fwd(re, im, masks, cfg, length):
+    return _fused_masked_resynthesis(re, im, masks, cfg, length), \
+        (re, im, masks)
+
+
+def _fused_mr_bwd(cfg, length, res, g):
+    # recompute-based backward through the XLA-equivalent math: same
+    # values (the kernel is parity-checked against this path on chip),
+    # one extra forward — the price of a fused forward without a
+    # hand-written backward kernel
+    re, im, masks = res
+    _, vjp = jax.vjp(
+        lambda r, i, m: _xla_masked_resynthesis(r, i, m, cfg, length),
+        re, im, masks)
+    return vjp(g)
+
+
+_fused_masked_resynthesis.defvjp(_fused_mr_fwd, _fused_mr_bwd)
 
 
 def magnitude_and_phase(spec: jax.Array, eps: float = 1e-8

@@ -81,8 +81,19 @@ def main(argv=None):
         if args.eval_only and os.path.exists(vp):
             with open(vp) as fh:
                 spk2idx = json.load(fh)
-            cfg = cfg.replace(num_speakers=max(cfg.num_speakers,
-                                               len(spk2idx)))
+            # one source of truth for the classifier shape: the checkpoint's
+            # training config. A vocab.json of a different size means the
+            # sidecars are mismatched — restoring would fail with a raw
+            # shape error, so say what is actually wrong instead.
+            if ck_cfg is not None and len(spk2idx) != ck_cfg.num_speakers:
+                raise SystemExit(
+                    f"vocab.json lists {len(spk2idx)} speakers but the "
+                    f"checkpoint config was trained with "
+                    f"{ck_cfg.num_speakers}; the checkpoint sidecars are "
+                    f"inconsistent — re-run training so run.train rewrites "
+                    f"both, or point at the matching checkpoint dir")
+            if ck_cfg is None:
+                cfg = cfg.replace(num_speakers=len(spk2idx))
         else:
             sampler = Wsj0MixSampler(args.list_dir, root, cfg, args.split,
                                      mix_ks=mix_ks)

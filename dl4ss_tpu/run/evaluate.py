@@ -74,6 +74,12 @@ def main(argv=None):
                    help="1-speaker complement trick: channel 2 mask becomes "
                         "1 - mask_1 when the classifier sees one speaker "
                         "(TestVer:473-476)")
+    p.add_argument("--candidates", type=int, default=None, metavar="N",
+                   help="multi-speech test protocol: restrict classifier "
+                        "selection to a per-sample candidate pool of N "
+                        "speakers (the true mixed speakers + random "
+                        "distractors — the aim_pro roster, "
+                        "predata_multiSpeechTest.py:89-115)")
     p.add_argument("--export-wavs", default=None,
                    help="directory for batch_output-style wav dumps "
                         "(scoreable with run.score, the bss_test.cal "
@@ -104,11 +110,15 @@ def main(argv=None):
                 "top-k/recursive evaluators, or retrain the memory model")
         return _memory_eval(args)
     if args.mode == "recursive" and (args.dedup or args.teacher_forced
-                                     or args.complement_mask):
+                                     or args.complement_mask
+                                     or args.candidates):
         raise SystemExit(
             "--mode recursive selects one speaker per peel step itself; "
-            "--dedup/--teacher-forced/--complement-mask apply to the "
-            "simultaneous top-k evaluator only")
+            "--dedup/--teacher-forced/--complement-mask/--candidates apply "
+            "to the simultaneous top-k evaluator only")
+    if args.candidates and (args.dedup or args.teacher_forced):
+        raise SystemExit("--candidates is its own selection protocol; drop "
+                         "--dedup/--teacher-forced")
 
     cfg = build_cfg(args)
     ck_cfg = None
@@ -228,6 +238,31 @@ def main(argv=None):
                                       cfg.quchong_alpha, cfg.top_k)
             feats = dict(feats, spk_idx=sel)
             out = ev(state.params, feats, teacher_forced=True)
+        elif args.candidates:
+            # aim_pro protocol: the classifier picks only among a known
+            # per-sample roster (predata_multiSpeechTest.py:89-115)
+            from dl4ss_tpu.models.separator import classify_speakers
+            from dl4ss_tpu.objectives.select import (
+                candidate_pools, candidate_restricted_select)
+            if args.candidates < cfg.top_k:
+                raise SystemExit(f"--candidates must be >= top_k="
+                                 f"{cfg.top_k}")
+            key, kc = jax.random.split(key)
+            pools = candidate_pools(kc, feats["spk_idx"],
+                                    feats["channel_live"], args.candidates,
+                                    cfg.num_speakers)
+            probs = classify_speakers(state.params, feats["mix_feas"], cfg)
+            sel = candidate_restricted_select(probs, pools, cfg.top_k)
+            # candidate hit rate: true speakers recovered from the roster
+            true_idx = np.asarray(batch.spk_idx)
+            live = np.asarray(batch.gains > 0)
+            sel_np = np.asarray(sel)
+            for bi in range(true_idx.shape[0]):
+                tset = set(true_idx[bi][live[bi]].tolist())
+                hits += len(tset & set(sel_np[bi].tolist()))
+                hit_total += len(tset)
+            feats = dict(feats, spk_idx=sel)
+            out = ev(state.params, feats, teacher_forced=True)
         else:
             out = ev(state.params, feats,
                      teacher_forced=args.teacher_forced,
@@ -283,7 +318,7 @@ def main(argv=None):
         ob = float(np.mean(np.concatenate(all_oracle)))
         print(f"oracle {args.oracle.upper()} bound: {ob:.2f} dB "
               f"(gap {ob - sisdr:.2f} dB)")
-    if args.mode == "recursive" and hit_total:
+    if (args.mode == "recursive" or args.candidates) and hit_total:
         print(f"speaker hit rate: {hits}/{hit_total} "
               f"({100.0 * hits / hit_total:.1f}%)")
     if all_sdr:

@@ -62,6 +62,25 @@ def test_train_then_evaluate_cli(tmp_path):
     assert any(f.endswith("True_mix.wav") for f in files)
 
 
+def test_evaluate_candidates_cli(tmp_path):
+    """--candidates N: classifier selection restricted to a per-sample
+    roster (the aim_pro multi-speech test protocol)."""
+    import pytest
+    ck = str(tmp_path / "ck")
+    train_cli.main(["--preset", "synth_tiny", "--epochs", "1",
+                    "--epoch-size", "2", "--checkpoint-dir", ck,
+                    "--set", "checkpoint_every_epochs=1"])
+    sisdr = evaluate_cli.main(["--preset", "synth_tiny", "--batches", "1",
+                               "--checkpoint-dir", ck, "--candidates", "3"])
+    assert np.isfinite(sisdr)
+    with pytest.raises(SystemExit, match="candidates"):
+        evaluate_cli.main(["--preset", "synth_tiny", "--batches", "1",
+                           "--candidates", "3", "--teacher-forced"])
+    with pytest.raises(SystemExit, match="top_k"):
+        evaluate_cli.main(["--preset", "synth_tiny", "--batches", "1",
+                           "--candidates", "1"])
+
+
 def test_recursive_evaluate_then_score_cli(tmp_path):
     """The committed recursive-scoring path (VERDICT r2 missing #2):
     evaluate --mode recursive peels + scores SI-SDR on device, exports

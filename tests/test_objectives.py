@@ -120,6 +120,35 @@ def test_cosine_dedup_fallback():
     assert picked[0, 0] == 0 and picked[0, 1] == 3
 
 
+def test_candidate_pools_and_restricted_select():
+    """aim_pro protocol (predata_multiSpeechTest.py:89-115): pools contain
+    every live true speaker plus distractors up to N; restricted top-k never
+    leaves the pool and prefers in-pool high-prob speakers."""
+    import jax
+    from dl4ss_tpu.objectives.select import (candidate_pools,
+                                             candidate_restricted_select)
+    spk = jnp.array([[0, 1], [2, 3]])
+    live = jnp.array([[1.0, 1.0], [1.0, 0.0]])
+    pools = np.asarray(candidate_pools(jax.random.PRNGKey(0), spk, live,
+                                       n_candidates=4, num_speakers=10))
+    assert pools.shape == (2, 10)
+    assert pools[0, 0] and pools[0, 1]          # true speakers always in
+    assert pools[1, 2] and not pools[1, 3]      # dead channel is NOT forced
+    np.testing.assert_array_equal(pools.sum(axis=1), [4, 4])
+    # selection: probs favor an out-of-pool speaker -> it cannot be picked
+    probs = np.full((2, 10), 0.01, np.float32)
+    out_of_pool = int(np.flatnonzero(~pools[0])[0])
+    probs[0, out_of_pool] = 0.99
+    probs[0, 0] = 0.5
+    probs[0, 1] = 0.4
+    sel = np.asarray(candidate_restricted_select(jnp.asarray(probs),
+                                                 jnp.asarray(pools), 2))
+    assert out_of_pool not in sel[0].tolist()
+    np.testing.assert_array_equal(sorted(sel[0].tolist()), [0, 1])
+    for b in range(2):
+        assert all(pools[b, s] for s in sel[b].tolist())
+
+
 def test_crm_roundtrip(rng):
     x = jnp.asarray(5.0 * rng.standard_normal((4, 4)).astype(np.float32))
     rt = crm_uncompress(crm_compress(x))
