@@ -39,8 +39,16 @@ def main(argv=None):
                         "RecuVer protocol, "
                         "main_run_multi_selfSS_recu.py:341-409)")
     p.add_argument("--query-source", default="speech",
-                   choices=["speech", "image"],
-                   help="memory mode: which modality trained the memory")
+                   choices=["speech", "image", "video"],
+                   help="memory mode: which modality trained the memory "
+                        "(video = lip-frame queries in the VIDEO slot)")
+    p.add_argument("--frame-size", type=int, default=48,
+                   help="memory mode, video query: square frame edge the "
+                        "checkpoint was trained with")
+    p.add_argument("--video-trunk", default="conv",
+                   choices=["conv", "inception"],
+                   help="memory mode, video query: the checkpoint's "
+                        "per-frame trunk")
     p.add_argument("--enroll-seconds", type=float, default=1.0,
                    help="memory mode: supp_time seconds of unknown-speaker "
                         "audio enrolled before scoring (predict.py:160-180)")
@@ -361,8 +369,11 @@ def _memory_eval(args):
             # overrides (batch_size_eval etc.) still win on top
             from dl4ss_tpu.run.common import apply_overrides
             cfg = apply_overrides(ck_cfg, args)
+    hw = ((299, 299) if args.video_trunk == "inception"
+          else (args.frame_size, args.frame_size))
     state = create_memory_state(jax.random.PRNGKey(args.seed), cfg,
-                                args.query_source)
+                                args.query_source, frame_hw=hw,
+                                video_trunk=args.video_trunk)
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
         print(f"restored step {int(state.step)} from {args.checkpoint_dir}")

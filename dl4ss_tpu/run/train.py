@@ -24,9 +24,11 @@ def main(argv=None):
                         "image-query = MNIST-digit-conditioned separation "
                         "(Multi_modal)")
     p.add_argument("--query-source", default="speech",
-                   choices=["speech", "image"],
-                   help="memory mode: voiceprint (Cocktail) or MNIST digit "
-                        "(Multi_modal) query")
+                   choices=["speech", "image", "video"],
+                   help="memory mode: voiceprint (Cocktail), MNIST digit "
+                        "(Multi_modal), or lip-frame query written into "
+                        "the memory's VIDEO slot (MEMORY.add_video, "
+                        "Torch_multi/main_run.py:142-171)")
     p.add_argument("--video-root", default=None,
                    help="video mode: GRID-style speaker tree of lip clips "
                         "(root/<speaker>/<clip dir of frames or video file>); "
@@ -99,7 +101,8 @@ def main(argv=None):
     # re-check the dataset against it (MODE 1-4, Torch_multi/config.py:66-76)
     want_mode = {"video": "video", "image-query": "image"}.get(args.mode)
     if args.mode == "memory":
-        want_mode = "image" if args.query_source == "image" else "speech"
+        want_mode = {"image": "image", "video": "video"}.get(
+            args.query_source, "speech")
     if want_mode is not None and cfg.mode != want_mode:
         cfg = cfg.replace(mode=want_mode).validate()
     if args.mode == "adversarial":
@@ -249,9 +252,30 @@ def _run_memory_mode(cfg, bank, args):
     from dl4ss_tpu.train.memory_trainer import memory_train_loop
 
     qbank = None
+    hw = (args.frame_size, args.frame_size)
+    if args.video_trunk == "inception":
+        hw = (299, 299)
     if args.query_source == "image":
         imgs, labels = load_mnist(None)
         qbank = jnp.asarray(digit_query_bank(imgs, labels, cfg.num_speakers))
+        qkey = "query_image"
+    elif args.query_source == "video":
+        # lip frames drive the memory's VIDEO slot (MEMORY.add_video,
+        # main_run.py:142-171): real GRID-style tree or synthetic bank
+        if args.video_root:
+            from dl4ss_tpu.data.video import speaker_frame_bank
+            frames, _ = speaker_frame_bank(args.video_root, args.frames,
+                                           size=hw)
+            if frames.shape[0] != cfg.num_speakers:
+                raise SystemExit(
+                    f"--video-root has {frames.shape[0]} speakers but the "
+                    f"audio bank has {cfg.num_speakers}")
+        else:
+            from dl4ss_tpu.data.video import synthetic_frame_bank
+            frames = synthetic_frame_bank(cfg.num_speakers, 2, args.frames,
+                                          hw, seed=args.seed)
+        qbank = jnp.asarray(frames)                 # (S, C, T, H, W, 3)
+        qkey = "query_video"
 
     def make_batch(key):
         b = sample_mixtures(key, bank, cfg)
@@ -264,7 +288,7 @@ def _run_memory_mode(cfg, bank, args):
         if qbank is not None:
             vi = jax.random.randint(key, b.spk_idx[:, 0].shape, 0,
                                     qbank.shape[1])
-            feats["query_image"] = qbank[b.spk_idx[:, 0], vi]
+            feats[qkey] = qbank[b.spk_idx[:, 0], vi]
         return feats
 
     init_state = None
@@ -274,7 +298,8 @@ def _run_memory_mode(cfg, bank, args):
         if latest_step(args.checkpoint_dir) is not None:
             template = create_memory_state(
                 jax.random.PRNGKey(args.seed), cfg, args.query_source,
-                args.epoch_size or cfg.epoch_size)
+                args.epoch_size or cfg.epoch_size, frame_hw=hw,
+                video_trunk=args.video_trunk)
             init_state = restore_checkpoint(args.checkpoint_dir, template)
             print(f"resumed memory-mode step {int(init_state.step)} "
                   f"from {args.checkpoint_dir}")
@@ -283,7 +308,8 @@ def _run_memory_mode(cfg, bank, args):
     state, history = memory_train_loop(
         cfg, make_batch, seed=args.seed, max_epochs=args.epochs,
         epoch_size=args.epoch_size, query_source=args.query_source,
-        patience=args.patience, dev_batch=dev, init_state=init_state)
+        patience=args.patience, dev_batch=dev, init_state=init_state,
+        frame_hw=hw, video_trunk=args.video_trunk)
     if history:
         print(f"dev-loss: first {history[0]:.4f} best {min(history):.4f} "
               f"({len(history)} epochs)")

@@ -32,10 +32,11 @@ from dl4ss_tpu.config import Config
 from dl4ss_tpu.models.attention import apply_mask_head, init_mask_head
 from dl4ss_tpu.models.encoder import apply_encoder, init_encoder
 from dl4ss_tpu.models.memory import (MemorySlots, SLOT_IMAGE, SLOT_SPEECH,
-                                     init_memory, memory_read, memory_rows,
-                                     memory_write_slot)
+                                     SLOT_VIDEO, init_memory, memory_read,
+                                     memory_rows, memory_write_slot)
 from dl4ss_tpu.models.query import (apply_image_query, apply_speech_query,
-                                    init_image_query, init_speech_query,
+                                    apply_video_query, init_image_query,
+                                    init_speech_query, init_video_query,
                                     masked_mean_pool)
 from dl4ss_tpu.train.state import make_optimizer
 
@@ -48,7 +49,9 @@ class MemoryTrainState(NamedTuple):
     rng: jax.Array
 
 
-def init_memory_model(key, cfg: Config, query_source: str = "speech"):
+def init_memory_model(key, cfg: Config, query_source: str = "speech",
+                      frame_hw: Tuple[int, int] = (48, 48),
+                      video_trunk: str = "conv"):
     k1, k2, k3 = jax.random.split(key, 3)
     params = {
         "encoder": init_encoder(k1, cfg),
@@ -58,6 +61,13 @@ def init_memory_model(key, cfg: Config, query_source: str = "speech"):
         params["speech_query"] = init_speech_query(k3, cfg)
     elif query_source == "image":
         params["image_query"] = init_image_query(k3, cfg)
+    elif query_source == "video":
+        # lip-frame query into the memory's video slot: the write path the
+        # reference defines (MEMORY.add_video, Torch_multi/main_run.py:
+        # 142-171) but never reaches (its consuming phase is dead code
+        # after `1/0`, main_run.py:539-599) — wired live here
+        params["video_query"] = init_video_query(k3, cfg, frame_hw=frame_hw,
+                                                 trunk=video_trunk)
     else:
         raise ValueError(query_source)
     return params
@@ -79,11 +89,17 @@ def _voiceprint(params, feats, cfg: Config, query_source: str):
         clean = feats["clean_feas"]
         return apply_speech_query(params["speech_query"], clean,
                                   _valid_frames(clean, cfg))
+    if query_source == "video":
+        # (B, T, H, W, 3) lip frames -> (B, E) query (logits unused here;
+        # the memory write IS the supervision path)
+        return apply_video_query(params["video_query"],
+                                 feats["query_video"])[1]
     return apply_image_query(params["image_query"], feats["query_image"])
 
 
 def _slot(query_source: str) -> int:
-    return SLOT_SPEECH if query_source == "speech" else SLOT_IMAGE
+    return {"speech": SLOT_SPEECH, "image": SLOT_IMAGE,
+            "video": SLOT_VIDEO}[query_source]
 
 
 def make_memory_train_step(cfg: Config, query_source: str = "speech",
@@ -153,6 +169,8 @@ def enroll(params, memory: MemorySlots, cfg: Config, spk_id: jax.Array,
     if query_source == "speech":
         vp = apply_speech_query(params["speech_query"], enroll_feats,
                                 _valid_frames(enroll_feats, cfg))
+    elif query_source == "video":
+        vp = apply_video_query(params["video_query"], enroll_feats)[1]
     else:
         vp = apply_image_query(params["image_query"], enroll_feats)
     return memory_write_slot(memory, spk_id, vp, _slot(query_source))
@@ -173,11 +191,15 @@ def unk_row(cfg: Config) -> int:
 
 
 def create_memory_state(key, cfg: Config, query_source: str = "speech",
-                        steps_per_epoch: int = 1) -> MemoryTrainState:
+                        steps_per_epoch: int = 1,
+                        frame_hw: Tuple[int, int] = (48, 48),
+                        video_trunk: str = "conv") -> MemoryTrainState:
     k_model, k_rng = jax.random.split(key)
-    params = init_memory_model(k_model, cfg, query_source)
+    params = init_memory_model(k_model, cfg, query_source,
+                               frame_hw=frame_hw, video_trunk=video_trunk)
     opt = make_optimizer(cfg, steps_per_epoch)
-    # voiceprint dim = 2 * (E // 2) from the BiLSTM concat
+    # voiceprint dim = 2 * (E // 2) from the BiLSTM concat; image and
+    # video queries both emit E-dim vectors
     dim = 2 * max(cfg.embedding_size // 2, 1) if query_source == "speech" \
         else cfg.embedding_size
     return MemoryTrainState(
@@ -192,7 +214,9 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
                       query_source: str = "speech",
                       patience: int = 10,
                       dev_batch: Optional[dict] = None,
-                      init_state=None):
+                      init_state=None,
+                      frame_hw: Tuple[int, int] = (48, 48),
+                      video_trunk: str = "conv"):
     """Early-stopped training (nnet.py:149-172): per-epoch dev loss, stop
     after `patience` epochs without improvement, return the best params.
 
@@ -207,7 +231,8 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
     esize = epoch_size if epoch_size is not None else cfg.epoch_size
     state = (init_state if init_state is not None else
              create_memory_state(jax.random.PRNGKey(seed), cfg, query_source,
-                                 esize))
+                                 esize, frame_hw=frame_hw,
+                                 video_trunk=video_trunk))
     # DP mesh (same contract as train_loop, loop.py): batches shard over
     # `data`, params/memory replicate, XLA all-reduces the grads over ICI
     mesh = mesh_for_cfg(cfg)

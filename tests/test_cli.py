@@ -324,6 +324,24 @@ def test_train_memory_mode_cli():
     assert int(np.asarray(state.memory.age).sum()) > 0
 
 
+def test_train_memory_video_mode_cli(tmp_path):
+    """Video-query memory training + eval from the CLI: lip frames write
+    the VIDEO slot (the reference's MEMORY.add_video path, main_run.py:
+    142-171, whose consumer is dead code there)."""
+    from dl4ss_tpu.models.memory import SLOT_VIDEO
+    ck = str(tmp_path / "ck")
+    state = train_cli.main(["--preset", "synth_tiny", "--mode", "memory",
+                            "--query-source", "video", "--epochs", "1",
+                            "--epoch-size", "2", "--frames", "2",
+                            "--frame-size", "16", "--checkpoint-dir", ck])
+    assert "video_query" in state.params
+    assert int(np.asarray(state.memory.age)[:, SLOT_VIDEO].sum()) > 0
+    res = evaluate_cli.main(["--preset", "synth_tiny", "--mode", "memory",
+                             "--query-source", "video", "--frame-size",
+                             "16", "--checkpoint-dir", ck, "--batches", "1"])
+    assert np.isfinite(res["si_sdr"]) and np.isfinite(res["gain"]["nsdr"])
+
+
 def test_train_memory_image_mode_cli():
     state = train_cli.main(["--preset", "synth_tiny", "--mode", "memory",
                             "--query-source", "image", "--epochs", "1",

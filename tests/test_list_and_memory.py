@@ -192,6 +192,41 @@ def _memory_feats(cfg, key, bank):
     }
 
 
+def test_memory_video_slot_write_and_eval():
+    """The memory's VIDEO slot is a live write path (MEMORY.add_video,
+    Torch_multi/main_run.py:142-171 — dead code in the reference after
+    `1/0`, wired live here): a video-query train step writes SLOT_VIDEO
+    only, and the eval step reads the video slot."""
+    from dl4ss_tpu.models.memory import SLOT_SPEECH, SLOT_VIDEO
+    from dl4ss_tpu.train.memory_trainer import make_memory_eval_step
+    cfg = CFG
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2,
+                                           cfg.max_len))
+    state = create_memory_state(jax.random.PRNGKey(0), cfg, "video",
+                                frame_hw=(16, 16))
+    assert "video_query" in state.params
+    step = make_memory_train_step(cfg, "video")
+    feats = _memory_feats(cfg, jax.random.PRNGKey(5), bank)
+    frames = jax.random.uniform(jax.random.PRNGKey(6),
+                                (cfg.batch_size, 2, 16, 16, 3))
+    feats = dict(feats, query_video=frames)
+    state2, m = step(state, feats)
+    assert np.isfinite(float(m["loss"]))
+    age = np.asarray(state2.memory.age)
+    assert age[:, SLOT_VIDEO].sum() == cfg.batch_size
+    assert age[:, SLOT_SPEECH].sum() == 0
+    ev = make_memory_eval_step(cfg, "video")
+    out = ev(state2.params, state2.memory, feats)
+    assert np.isfinite(float(out["loss"]))
+    # zeroing the video slot changes the eval output (the slot is read)
+    from dl4ss_tpu.models.memory import MemorySlots
+    wiped = MemorySlots(
+        vectors=state2.memory.vectors.at[:, SLOT_VIDEO, :].set(0.0),
+        age=state2.memory.age)
+    out2 = ev(state2.params, wiped, feats)
+    assert abs(float(out["loss"]) - float(out2["loss"])) > 1e-9
+
+
 def test_memory_train_step_learns_and_writes():
     cfg = CFG
     bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len))
