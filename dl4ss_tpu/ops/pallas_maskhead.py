@@ -133,15 +133,136 @@ def fused_dot_masks(hidden, w, b, queries, freq_bins: int, emb: int):
 
 def _fwd_vjp(hidden, w, b, queries, freq_bins, emb):
     out = _fwd_impl(hidden, w, b, queries, freq_bins, emb)
-    return out, (hidden, w, b, queries)
+    return out, (hidden, w, b, queries, out)
+
+
+# ---------------------------------------------------------------------------
+# Hand-written backward (round 4): no full XLA re-forward.
+#
+# The recompute VJP (rounds 2-3) re-ran the ENTIRE reference implementation
+# under jax.vjp — an extra fused forward plus XLA's own backward with its
+# f32 (B, T, F*E) activation materializations; measured a net LOSS for
+# training (42.1 vs 31 ms at B=128 bf16), so train steps forced the flag
+# off. This kernel removes both costs:
+#
+#   per (batch, time-tile), in VMEM:
+#     g      = tanh(h W + b)                        (recomputed tile-local)
+#     de_k   = dmask_k . m_k . (1 - m_k)            (Tt, F)   from saved out
+#     dgq_k  = de_k @ S^T                           (Tt, FE)  MXU
+#     dq_k  += ones @ (g . dgq_k) @ R               (1, E)    MXU, f32 acc
+#     dg     = sum_k dgq_k . qrep_k
+#     dacc   = dg . (1 - g^2)                       -> HBM (bf16)
+#
+# and the two large weight/input gradients are clean XLA matmuls over the
+# single dacc materialization (bf16, vs XLA's f32 grids):
+#     dW = h^T dacc   (contract B, T)      dh = dacc W^T      db = sum dacc
+#
+# The (2H, FE) f32 dW accumulator therefore never enters VMEM — the exact
+# obstacle that killed the in-kernel dW variant (docs/BENCHMARKS.md r3).
+# ---------------------------------------------------------------------------
+
+# backward time-tile: g (f32) + dg (f32) + (g.dgq) temp share VMEM with the
+# resident W (bf16) + S + R; 64 keeps the sum under the ~16 MB budget
+_TILE_T_BWD = 64
+
+
+def _bwd_kernel(h_ref, w_ref, b_ref, qrep_ref, s_ref, r_ref, m_ref, dm_ref,
+                dacc_ref, dq_ref, *, k: int):
+    j = pl.program_id(1)
+    h = h_ref[0]                                          # (Tt, 2H) bf16
+    acc = jnp.dot(h, w_ref[...], preferred_element_type=jnp.float32)
+    g = jnp.tanh(acc + b_ref[...])                        # (Tt, FE) f32
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    dg = jnp.zeros_like(g)
+    for ki in range(k):                                   # static K unroll
+        m = m_ref[0, ki].astype(jnp.float32)              # (Tt, F)
+        de = dm_ref[0, ki].astype(jnp.float32) * m * (1.0 - m)
+        # de @ S^T: contract the F axis of both (S is (FE, F))
+        dgq = jax.lax.dot_general(
+            de.astype(s_ref.dtype), s_ref[...],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (Tt, FE)
+        q = qrep_ref[0, ki][None, :].astype(jnp.float32)  # (1, FE)
+        dg = dg + dgq * q
+        # dq_k[e] = sum_{t,f} g[t, f*E+e] de[t, f]: fold FE -> E via R
+        col = jnp.sum(g * dgq, axis=0, keepdims=True)     # (1, FE) f32
+        dq_ref[0, ki] += jnp.dot(col, r_ref[...],
+                                 preferred_element_type=jnp.float32)[0]
+
+    dacc_ref[0] = (dg * (1.0 - g * g)).astype(dacc_ref.dtype)
+
+
+def _fold_matrix(fe: int, emb: int, dtype):
+    """(FE, E) 0/1 matrix R[f*E+e, e'] = [e == e'] (on-device iota)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (fe, emb), 0) % emb
+    cols = jax.lax.broadcasted_iota(jnp.int32, (fe, emb), 1)
+    return (rows == cols).astype(dtype)
 
 
 def _bwd_vjp(freq_bins, emb, res, dout):
-    hidden, w, b, queries = res
-    _, vjp = jax.vjp(
-        lambda h, ww, bb, q: _reference_impl(h, ww, bb, q, freq_bins, emb),
-        hidden, w, b, queries)
-    return vjp(dout.astype(hidden.dtype))
+    hidden, w, b, queries, masks = res
+    bsz, t, h2 = hidden.shape
+    k = queries.shape[1]
+    fe = freq_bins * emb
+    hp16 = hidden.astype(jnp.bfloat16)
+    tt = min(_TILE_T_BWD, t)
+    tp = -(-t // tt) * tt
+    if tp != t:
+        hp16 = jnp.pad(hp16, ((0, 0), (0, tp - t), (0, 0)))
+        masks = jnp.pad(masks, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
+        dout = jnp.pad(dout, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
+    qrep = jnp.tile(queries.astype(jnp.bfloat16), (1, 1, freq_bins))
+    s = _block_sum_matrix(fe, emb, freq_bins, jnp.bfloat16)
+    r = _fold_matrix(fe, emb, jnp.float32)   # f32: dq accumulates exactly
+    bias = b.reshape(1, fe).astype(jnp.float32)
+    w16 = w.astype(jnp.bfloat16)
+
+    dacc, dq = pl.pallas_call(
+        functools.partial(_bwd_kernel, k=k),
+        grid=(bsz, tp // tt),
+        in_specs=[
+            pl.BlockSpec((1, tt, h2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # W resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # bias
+            pl.BlockSpec((1, k, fe), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # S resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # R resident
+            pl.BlockSpec((1, k, tt, freq_bins), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),            # saved masks
+            pl.BlockSpec((1, k, tt, freq_bins), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),            # dout
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tt, fe), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, emb), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # dq accumulates
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, tp, fe), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bsz, k, emb), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(hp16, w16, bias, qrep, s, r, masks, dout.astype(jnp.float32))
+
+    dacc = dacc[:, :t]
+    hp16 = hp16[:, :t]
+    # the two big gradients as plain XLA matmuls over the one bf16 dacc
+    # materialization (f32 accumulation on the MXU)
+    dw = jax.lax.dot_general(hp16, dacc, (((0, 1), (0, 1)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh = jax.lax.dot_general(dacc, w.astype(jnp.bfloat16),
+                             (((2,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    db = jnp.sum(dacc.astype(jnp.float32), axis=(0, 1))
+    return (dh.astype(hidden.dtype), dw.astype(w.dtype), db.astype(b.dtype),
+            dq.astype(queries.dtype))
 
 
 fused_dot_masks.defvjp(_fwd_vjp, _bwd_vjp)

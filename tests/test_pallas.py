@@ -135,14 +135,37 @@ def test_fused_maskhead_matches_reference(rng):
     def loss_ref(h, ww, bb, qq):
         return jnp.sum(_reference_impl(h, ww, bb, qq, f, e) ** 2)
 
-    # the custom VJP re-differentiates the XLA implementation (recompute
-    # backward), so grads differ only through the bf16-rounded forward
-    # output feeding the loss cotangent
+    # the hand-written backward kernel (round 4) recomputes tanh tiles in
+    # VMEM and materializes dacc in bf16 — gradients match the f32
+    # reference to bf16 rounding (same numerics class as the forward)
     g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(hidden, w, bias, q)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(hidden, w, bias, q)
     for a, bb_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
-                                   rtol=3e-2, atol=2e-2)
+                                   rtol=5e-2, atol=4e-2)
+
+
+def test_fused_maskhead_backward_multi_tile(rng):
+    """The hand-written backward accumulates dq across time-tiles (the
+    (i, 0, 0) output block is revisited for every j): t > _TILE_T_BWD
+    exercises the init-at-j==0 + accumulate pattern."""
+    from dl4ss_tpu.ops import pallas_maskhead as pm
+    b, t, h2, f, e, k = 2, 150, 16, 9, 4, 2   # 3 tiles at _TILE_T_BWD=64
+    assert t > pm._TILE_T_BWD
+    hidden = jnp.asarray(rng.standard_normal((b, t, h2)).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.standard_normal((h2, f * e)).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.standard_normal(f * e).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, k, e)).astype(np.float32))
+
+    def loss_fused(qq):
+        return jnp.sum(pm.fused_dot_masks(hidden, w, bias, qq, f, e) ** 2)
+
+    def loss_ref(qq):
+        return jnp.sum(pm._reference_impl(hidden, w, bias, qq, f, e) ** 2)
+
+    gq1 = np.asarray(jax.grad(loss_fused)(q))
+    gq2 = np.asarray(jax.grad(loss_ref)(q))
+    np.testing.assert_allclose(gq1, gq2, rtol=5e-2, atol=4e-2)
 
 
 def test_fused_maskhead_separator_equivalence(rng):
