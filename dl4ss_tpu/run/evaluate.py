@@ -111,11 +111,6 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.mode == "memory":
-        if args.graft:
-            raise SystemExit(
-                "--graft is not wired into --mode memory (the memory "
-                "evaluator builds its own state); graft-compose with the "
-                "top-k/recursive evaluators, or retrain the memory model")
         return _memory_eval(args)
     if args.mode == "recursive" and (args.dedup or args.teacher_forced
                                      or args.complement_mask
@@ -377,6 +372,12 @@ def _memory_eval(args):
     if args.checkpoint_dir:
         state = restore_checkpoint(args.checkpoint_dir, state)
         print(f"restored step {int(state.step)} from {args.checkpoint_dir}")
+    if args.graft:
+        # checkpoint-zoo composition works on the memory state too
+        # (load_components only touches state.params subtrees) — lifts the
+        # round-3 exclusion
+        from dl4ss_tpu.run.common import apply_graft
+        state = apply_graft(state, args.graft)
     bank, bank_cfg, idx2spk = load_bank(cfg, args)
     if bank_cfg.num_speakers != cfg.num_speakers:
         raise SystemExit(

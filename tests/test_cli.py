@@ -380,6 +380,23 @@ def test_memory_eval_known_speakers_cli(tmp_path):
     assert np.isfinite(res["gain"]["sdr"]) and np.isfinite(res["gain"]["sir"])
 
 
+def test_memory_eval_graft_cli(tmp_path):
+    """--graft composes memory-mode checkpoints too (round-3 exclusion
+    lifted): the encoder from a SECOND memory checkpoint grafted over the
+    first changes the state to the donor's weights."""
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    train_cli.main(["--preset", "synth_tiny", "--mode", "memory",
+                    "--epochs", "1", "--epoch-size", "2",
+                    "--checkpoint-dir", ck1])
+    train_cli.main(["--preset", "synth_tiny", "--mode", "memory", "--seed",
+                    "9", "--epochs", "1", "--epoch-size", "2",
+                    "--checkpoint-dir", ck2])
+    res = evaluate_cli.main(["--preset", "synth_tiny", "--mode", "memory",
+                             "--checkpoint-dir", ck1, "--batches", "1",
+                             "--graft", f"encoder={ck2}"])
+    assert np.isfinite(res["si_sdr"])
+
+
 def test_unk_eval_requires_unk_spk_config(tmp_path):
     """The unk protocol is gated on the unk_spk training config (the
     reserved memory row, extend_layers.py:133-136)."""
