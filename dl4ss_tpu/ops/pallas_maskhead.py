@@ -23,11 +23,14 @@ The embedding grid never touches HBM: traffic drops from
 read(h) + write(emb) + read(emb) + write(masks) to read(h) + write(masks).
 W rides in VMEM as a whole-array block and stays resident across the grid.
 
-Backward: recompute-based custom VJP (the XLA reference implementation is
-re-differentiated in the backward pass). Training thus pays one extra
-fused forward but stores 25x less activation memory (masks instead of the
-embedding grid), and inference — the throughput headline — takes the
-fused path outright.
+Backward: hand-written Pallas kernel (see the round-4 block below) — no
+XLA re-forward, tanh tiles recomputed in VMEM, one bf16 dacc
+materialization feeding three plain XLA matmuls for dW/dh/db. Activation
+storage is the masks (25x smaller than the embedding grid). Measured at
+B=128 bf16: fused train step 31.1 -> 26.3 ms (1.18x) over the XLA
+mask-head path, so training now takes the fused head too (the
+recompute-based VJP of rounds 2-3 was a measured net loss and kept
+training on XLA).
 """
 
 from __future__ import annotations

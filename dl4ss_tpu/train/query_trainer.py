@@ -62,8 +62,6 @@ def _queries_and_logits(params, feats, cfg: Config, query_source: str):
 def make_query_train_step(cfg: Config, query_source: str = "video",
                           steps_per_epoch: int = 1,
                           aux_class_weight: float = 1.0) -> Callable:
-    from dl4ss_tpu.train.steps import _train_cfg
-    cfg = _train_cfg(cfg)   # training takes the XLA mask-head path
     opt = make_optimizer(cfg, steps_per_epoch)
 
     @jax.jit

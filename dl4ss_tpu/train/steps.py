@@ -37,15 +37,6 @@ def _gen_params(params):
     return {k: v for k, v in params.items() if k != "discriminator"}
 
 
-def _train_cfg(cfg: Config) -> Config:
-    """Training always takes the XLA mask-head path: the fused Pallas
-    kernel's recompute-based backward costs one extra forward, measured a
-    net LOSS for train steps (42.1 vs 31 ms at B=128 bf16) while winning
-    for inference — eval/bench keep the flag (docs/BENCHMARKS.md r3)."""
-    return cfg.replace(use_pallas_maskhead=False) \
-        if cfg.use_pallas_maskhead else cfg
-
-
 def _compute_cast(params, feats, cfg: Config):
     """Mixed-precision training compute (cfg.compute_dtype='bfloat16'):
     model matmuls/activations run in bf16 on native MXU tiles while the
@@ -135,7 +126,6 @@ def make_train_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
             "channel k no longer aligns with source k — identity assignment "
             "is ill-posed in the top-k layout; use loss_mode='pit'/'si_sdr' "
             "(or the dense trainer, which assigns channels by speaker id).")
-    cfg = _train_cfg(cfg)
     opt = make_optimizer(cfg, steps_per_epoch)
 
     @jax.jit
@@ -195,7 +185,6 @@ def make_dense_train_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
     disabled-by-default 0.5-weighted loss, main_run.py:508-513). With
     cfg.is_complex_mask the channels carry the cRM complex-RI layout
     (main_run_sstune_cRM_EvalVer.py:552-568) scattered the same way."""
-    cfg = _train_cfg(cfg)
     opt = make_optimizer(cfg, steps_per_epoch)
 
     @jax.jit
@@ -296,7 +285,6 @@ def make_adversarial_step(cfg: Config, steps_per_epoch: int = 1) -> Callable:
             "ground_truth=False selects channels from the classifier — "
             "identity assignment is ill-posed in the top-k layout; use "
             "loss_mode='pit'/'si_sdr' (same constraint as make_train_step)")
-    cfg = _train_cfg(cfg)
     g_opt = make_optimizer(cfg, steps_per_epoch)
     d_opt = make_optimizer(cfg, steps_per_epoch)
     # the adversarial generator loss carries its own sum-to-one term
