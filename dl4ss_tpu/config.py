@@ -82,7 +82,7 @@ class Config:
     max_epoch: int = 250
     epoch_size: int = 200
     learning_rate: float = 2e-4
-    lr_schedule: str = "constant"    # constant | halve_per_epoch | halve_50
+    lr_schedule: str = "constant"    # constant | halve_per_epoch | halve_50 | cosine
     lr_floor: float = 1e-7           # TestVer:596-600 halving floor
     loss_mode: str = "pit"           # pit | identity (reference channel-by-id)
                                      # | si_sdr (time-domain uPIT fine-tune)
@@ -206,6 +206,12 @@ TORCH_MULTI = _register(Config(name="torch_multi", use_pallas_rnn=True,
 # (docs/BENCHMARKS.md real-scale rehearsal).
 TORCH_MULTI_XL = _register(TORCH_MULTI.replace(
     name="torch_multi_xl", hidden_units=384, encoder_layers=3))
+
+# Deeper still (oracle-gap sweep, docs/BENCHMARKS.md): H stays 384 — the
+# widest exact-128-lane size whose bf16 projection W (9.9 MB) passes the
+# fused mask head's VMEM guard — and depth goes to 4 bidirectional layers.
+TORCH_MULTI_XXL = _register(TORCH_MULTI.replace(
+    name="torch_multi_xxl", hidden_units=384, encoder_layers=4))
 
 # Torch_multi/main_run_multi_selfSS_dB.py + predata_multiAims_dB: SNR-augmented,
 # widened classifier.

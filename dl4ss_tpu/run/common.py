@@ -25,6 +25,10 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--metrics", default=None, help="jsonl metrics path")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="override any Config field, e.g. --set max_mix=3")
+    p.add_argument("--utts", type=int, default=None,
+                   help="utterances loaded per speaker into the bank "
+                        "(--data-root mode; default 8). WSJ0-scale trees "
+                        "fit HBM whole — raise this for rehearsal runs")
     return p
 
 
@@ -88,6 +92,7 @@ def load_noise_bank(noise_dir: str, cfg: Config):
 def load_bank(cfg: Config, args, utts_per_speaker: int = 8):
     """Returns (bank array, cfg possibly updated with the real speaker count,
     idx->speaker-name mapping)."""
+    utts_per_speaker = getattr(args, "utts", None) or utts_per_speaker
     if args.data_root:
         sampler = DirTreeSampler(args.data_root, cfg, args.split,
                                  utts_per_speaker)

@@ -60,6 +60,9 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
     main_run.py:21-23): one integer seed drives bank, init, and sampling.
     """
     epochs = max_epochs if max_epochs is not None else cfg.max_epoch
+    # horizon-aware schedules (cosine) must see the REAL epoch budget, not
+    # the preset default the CLI overrode
+    cfg = cfg.replace(max_epoch=epochs)
     if sampler is not None:
         epoch_size = sampler.num_batches(cfg.batch_size)
         if epoch_size == 0:

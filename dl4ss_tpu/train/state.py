@@ -35,10 +35,20 @@ def make_schedule(cfg: Config, steps_per_epoch: int):
       constant        — Adam 2e-4 (Torch_multi/main_run.py:443)
       halve_per_epoch — *0.5 each epoch, floor 1e-7 (TestVer:596-600)
       halve_50        — *0.5 every 50 epochs (test_multi_labels_speech.py:405-407)
+      cosine          — half-cosine decay over the full cfg.max_epoch horizon
+                        to lr_floor (no reference counterpart; a quality
+                        lever for the oracle-gap sweep, docs/BENCHMARKS.md)
     """
     base = cfg.learning_rate
     if cfg.lr_schedule == "constant":
         return base
+    if cfg.lr_schedule == "cosine":
+        total = max(cfg.max_epoch * steps_per_epoch, 1)
+        def sched(step):
+            frac = jnp.minimum(step / total, 1.0)
+            return jnp.maximum(base * 0.5 * (1.0 + jnp.cos(jnp.pi * frac)),
+                               cfg.lr_floor)
+        return sched
     if cfg.lr_schedule == "halve_per_epoch":
         def sched(step):
             epoch = step // steps_per_epoch

@@ -33,6 +33,13 @@ def test_schedules():
                                     learning_rate=1e-5), 2)
     assert float(s50(0)) == pytest.approx(1e-5)
     assert float(s50(100)) == pytest.approx(5e-6)
+    # cosine: half-cosine over the max_epoch horizon, floored, then flat
+    sc = make_schedule(CFG.replace(lr_schedule="cosine", learning_rate=1e-3,
+                                   lr_floor=1e-7, max_epoch=10), 10)
+    assert float(sc(0)) == pytest.approx(1e-3)
+    assert float(sc(50)) == pytest.approx(5e-4)       # halfway -> base/2
+    assert float(sc(100)) == pytest.approx(1e-7)      # horizon -> floor
+    assert float(sc(500)) == pytest.approx(1e-7)      # stays at floor past it
 
 
 def test_train_step_decreases_loss():
