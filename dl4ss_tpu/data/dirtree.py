@@ -80,7 +80,10 @@ class DirTreeSampler:
     """Loads a split into an utterance bank usable by `sample_mixtures`."""
 
     def __init__(self, root, cfg: Config, split: str = "train",
-                 utts_per_speaker: int = 32):
+                 utts_per_speaker: int = 32, utts_offset: int = 0):
+        """`utts_offset` starts each speaker's slice that many utterances
+        into the sorted list — train/held-out banks from one tree (e.g.
+        rehearsal corpora reserve the LAST utterances for cv/tt)."""
         self.cfg = cfg
         tree = scan_speaker_tree(root, split)
         self.speakers = sorted(tree)
@@ -91,7 +94,8 @@ class DirTreeSampler:
         flat_paths = []
         for spk in self.speakers:
             paths = tree[spk]
-            flat_paths.extend(paths[ui % len(paths)] for ui in range(u))
+            flat_paths.extend(paths[(utts_offset + ui) % len(paths)]
+                              for ui in range(u))
         self.bank = _load_bank(flat_paths, cfg.frame_rate, n).reshape(
             len(self.speakers), u, n)
 

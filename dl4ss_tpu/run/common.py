@@ -29,6 +29,10 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="utterances loaded per speaker into the bank "
                         "(--data-root mode; default 8). WSJ0-scale trees "
                         "fit HBM whole — raise this for rehearsal runs")
+    p.add_argument("--utts-from", type=int, default=0,
+                   help="start each speaker's utterance slice at this "
+                        "index (held-out eval banks: rehearsal corpora "
+                        "reserve the LAST utterances for cv/tt)")
     return p
 
 
@@ -95,7 +99,8 @@ def load_bank(cfg: Config, args, utts_per_speaker: int = 8):
     utts_per_speaker = getattr(args, "utts", None) or utts_per_speaker
     if args.data_root:
         sampler = DirTreeSampler(args.data_root, cfg, args.split,
-                                 utts_per_speaker)
+                                 utts_per_speaker,
+                                 utts_offset=getattr(args, "utts_from", 0))
         cfg = cfg.replace(num_speakers=sampler.num_speakers)
         return jnp.asarray(sampler.bank), cfg, sampler.idx2spk
     bank = make_synthetic_bank(args.seed, cfg.num_speakers,

@@ -223,6 +223,11 @@ def test_dirtree_sampler(tmp_path, rng):
     batch = sample_mixtures(jax.random.PRNGKey(0), jnp.asarray(sampler.bank),
                             cfg.replace(num_speakers=3), batch_size=2)
     assert batch.mix_wav.shape == (2, cfg.max_len)
+    # utts_offset starts each speaker's slice later — a held-out bank from
+    # the same tree contains exactly the skipped utterances
+    held = DirTreeSampler(root, cfg, "train", utts_per_speaker=1,
+                          utts_offset=1)
+    np.testing.assert_allclose(held.bank[:, 0], sampler.bank[:, 1])
 
 
 def test_split_70_10_20():
