@@ -29,7 +29,8 @@ from dl4ss_tpu.data.wsj0mix import Wsj0MixEntry, mix_list_name, parse_mix_list
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def mix_from_list(bank: jax.Array, utt_idx: jax.Array, gains_db: jax.Array,
                   spk_idx: jax.Array, cfg: Config,
-                  live: Optional[jax.Array] = None) -> MixtureBatch:
+                  live: Optional[jax.Array] = None,
+                  shift_key: Optional[jax.Array] = None) -> MixtureBatch:
     """bank (U, N); utt_idx/gains_db/spk_idx (B, K) -> MixtureBatch.
 
     Normalization order matches the reference exactly: crop (bank rows are
@@ -37,8 +38,18 @@ def mix_from_list(bank: jax.Array, utt_idx: jax.Array, gains_db: jax.Array,
     (predata_fromList.py:140-176). `live` (B, K) in {0,1} gates padded
     channels when entries with fewer than K speakers are padded up to the
     static width (the mixed-k recipe, predata_fromList_123.py:45-110).
+
+    `shift_key` enables the AUGMENT_DATA train-time random circular shift of
+    every source (predata_fromList.py:150-152). The reference shifts the
+    cropped signal BEFORE zero-padding; bank rows are already padded, so the
+    roll carries any padding along — identical whenever the utterance fills
+    MAX_LEN (every 5 s crop), a benign variant for shorter ones.
     """
     wavs = normalize_utterance(bank[utt_idx])          # (B, K, N)
+    if shift_key is not None:
+        shifts = jax.random.randint(shift_key, wavs.shape[:2], 0,
+                                    wavs.shape[-1])
+        wavs = jax.vmap(jax.vmap(lambda w, s: jnp.roll(w, s)))(wavs, shifts)
     gains = 10.0 ** (gains_db / 20.0)
     if live is not None:
         gains = gains * live.astype(gains.dtype)
@@ -208,10 +219,16 @@ class Wsj0MixSampler:
             self._device_bank = jnp.asarray(self.bank)
         return self._device_bank
 
-    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0
-                ) -> Iterator[MixtureBatch]:
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                augment: bool = False) -> Iterator[MixtureBatch]:
+        """augment=True applies the train-time random circular shift to every
+        source (AUGMENT_DATA, predata_fromList.py:150-152); eval/cv batches
+        keep it off like the reference's train_or_test gate."""
         bank = self.device_bank()
-        for utt, db, spk, live in self.epoch(batch_size, shuffle, seed):
+        base = jax.random.PRNGKey(seed + 15485863) if augment else None
+        for i, (utt, db, spk, live) in enumerate(
+                self.epoch(batch_size, shuffle, seed)):
+            k = jax.random.fold_in(base, i) if augment else None
             yield mix_from_list(bank, jnp.asarray(utt), jnp.asarray(db),
                                 jnp.asarray(spk), self.cfg,
-                                live=jnp.asarray(live))
+                                live=jnp.asarray(live), shift_key=k)

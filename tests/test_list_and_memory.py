@@ -111,6 +111,34 @@ def test_mix_from_list_gains():
     np.testing.assert_allclose(g, [10 ** 0.3, 10 ** -0.3], rtol=1e-5)
 
 
+def test_mix_from_list_shift_augment():
+    """AUGMENT_DATA circular shift (predata_fromList.py:150-152): sources
+    become rolls of the unshifted ones (energy-preserving, deterministic by
+    key), and the mixture is the sum of the shifted sources."""
+    cfg = CFG.replace(max_len_seconds=0.25)
+    bank = jnp.asarray(make_synthetic_bank(0, 4, 1, cfg.max_len)[:, 0, :])
+    utt = jnp.array([[0, 1], [2, 3]])
+    db = jnp.zeros((2, 2))
+    spk = jnp.array([[0, 1], [2, 3]])
+    plain = mix_from_list(bank, utt, db, spk, cfg)
+    key = jax.random.PRNGKey(3)
+    aug = mix_from_list(bank, utt, db, spk, cfg, shift_key=key)
+    aug2 = mix_from_list(bank, utt, db, spk, cfg, shift_key=key)
+    np.testing.assert_allclose(np.asarray(aug.source_wavs),
+                               np.asarray(aug2.source_wavs))  # deterministic
+    p, a = np.asarray(plain.source_wavs), np.asarray(aug.source_wavs)
+    assert not np.allclose(p, a)                 # it actually shifted
+    for b in range(2):
+        for k in range(2):
+            # some roll of the original reproduces the augmented source
+            sh = np.argmax(np.correlate(
+                np.tile(a[b, k], 2)[:2 * len(p[b, k])], p[b, k], "valid"))
+            np.testing.assert_allclose(np.roll(p[b, k], sh), a[b, k],
+                                       atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aug.mix_wav),
+                               a.sum(axis=1), atol=1e-5)
+
+
 def test_bgd_noise_mixing():
     cfg = CFG.replace(add_bgd_noise=True)
     bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2, cfg.max_len))
