@@ -123,7 +123,8 @@ def train_loop(cfg: Config, bank: Optional[jax.Array] = None,
             last = {}
             for i, batch in enumerate(sampler.batches(
                     cfg.batch_size, shuffle=True,
-                    seed=seed + 7919 * (epoch + 1))):
+                    seed=seed + 7919 * (epoch + 1),
+                    augment=cfg.augment_data)):
                 feats = featurize(batch, cfg)
                 if dis_sp:
                     # host-side epoch/batch fold — no device sync per batch
