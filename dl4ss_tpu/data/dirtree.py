@@ -94,6 +94,12 @@ class DirTreeSampler:
         flat_paths = []
         for spk in self.speakers:
             paths = tree[spk]
+            if utts_offset and utts_offset + u > len(paths):
+                # a wrapped held-out slice would silently re-include rows
+                # from the training prefix and inflate eval scores
+                raise ValueError(
+                    f"held-out slice [{utts_offset}:{utts_offset + u}] wraps "
+                    f"speaker {spk!r} ({len(paths)} utterances)")
             flat_paths.extend(paths[(utts_offset + ui) % len(paths)]
                               for ui in range(u))
         self.bank = _load_bank(flat_paths, cfg.frame_rate, n).reshape(

@@ -91,7 +91,10 @@ def list_same_speaker_real_specs(key: jax.Array, batch: MixtureBatch,
     rows = draw_same_speaker_rows(key, batch.spk_idx, batch.utt_idx,
                                   spk_rows, spk_counts)
     wavs = normalize_utterance(bank[rows])
-    return jnp.abs(stft_cfg(wavs, cfg))
+    # gate dead padded channels (mixed-k entries) exactly like the fake
+    # side, so the discriminator can't win on padding alone
+    live = (batch.gains > 0).astype(wavs.dtype)
+    return jnp.abs(stft_cfg(wavs, cfg)) * live[..., None, None]
 
 
 class Wsj0MixSampler:
@@ -154,10 +157,14 @@ class Wsj0MixSampler:
                 r = self.utt2row[p]
                 if r not in by_spk[si]:
                     by_spk[si].append(r)
-        umax = max(len(v) for v in by_spk.values())
+        umax = max(max((len(v) for v in by_spk.values()), default=0), 1)
         self.spk_rows = np.zeros((len(by_spk), umax), np.int32)
         self.spk_counts = np.zeros((len(by_spk),), np.int32)
         for si, rows in by_spk.items():
+            if not rows:
+                # injected-vocabulary speaker absent from this split's
+                # lists: never mixed, so never drawn from — leave zeros
+                continue
             rep = (rows * umax)[:umax]
             self.spk_rows[si] = rep
             self.spk_counts[si] = len(rows)

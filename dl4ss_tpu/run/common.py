@@ -107,3 +107,28 @@ def load_bank(cfg: Config, args, utts_per_speaker: int = 8):
                                utts_per_speaker, cfg.max_len)
     return jnp.asarray(bank), cfg, {i: f"spk{i:03d}"
                                     for i in range(cfg.num_speakers)}
+
+def frame_hw(args) -> tuple:
+    """Frame geometry for the video trunk: Inception-v3 fixes 299x299
+    (models/inception.py); the conv trunk uses --frame-size."""
+    if getattr(args, "video_trunk", "conv") == "inception":
+        return (299, 299)
+    return (args.frame_size, args.frame_size)
+
+
+def load_frame_bank(cfg: Config, args, hw, seed: int):
+    """(S, C, T, H, W, 3) lip-frame bank: a real GRID-style tree
+    (--video-root, paired speaker-for-speaker with the audio bank,
+    Torch_multi/predata.py:161-184) or the synthetic per-speaker bank."""
+    if args.video_root:
+        from dl4ss_tpu.data.video import speaker_frame_bank
+        frames, _ = speaker_frame_bank(args.video_root, args.frames, size=hw)
+        if frames.shape[0] != cfg.num_speakers:
+            raise SystemExit(
+                f"--video-root has {frames.shape[0]} speakers but the audio "
+                f"bank has {cfg.num_speakers}; the trees must pair "
+                f"speaker-for-speaker (predata.py:161-184)")
+        return frames
+    from dl4ss_tpu.data.video import synthetic_frame_bank
+    return synthetic_frame_bank(cfg.num_speakers, 2, args.frames, hw,
+                                seed=seed)

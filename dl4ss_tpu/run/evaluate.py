@@ -135,6 +135,8 @@ def main(argv=None):
         ck_cfg = load_cfg(args.checkpoint_dir)
         if ck_cfg is not None:
             cfg = apply_overrides(ck_cfg, args)
+    if args.candidates and args.candidates < cfg.top_k:
+        raise SystemExit(f"--candidates must be >= top_k={cfg.top_k}")
     list_batches = None
     if args.list_dir:
         # the reference's eval protocol: mean SDR over the official cv/tt
@@ -240,16 +242,14 @@ def main(argv=None):
                                       state.params["embedding"]["table"],
                                       cfg.quchong_alpha, cfg.top_k)
             feats = dict(feats, spk_idx=sel)
-            out = ev(state.params, feats, teacher_forced=True)
+            out = ev(state.params, feats, teacher_forced=True,
+                     complement_mask=args.complement_mask)
         elif args.candidates:
             # aim_pro protocol: the classifier picks only among a known
             # per-sample roster (predata_multiSpeechTest.py:89-115)
             from dl4ss_tpu.models.separator import classify_speakers
             from dl4ss_tpu.objectives.select import (
                 candidate_pools, candidate_restricted_select)
-            if args.candidates < cfg.top_k:
-                raise SystemExit(f"--candidates must be >= top_k="
-                                 f"{cfg.top_k}")
             key, kc = jax.random.split(key)
             pools = candidate_pools(kc, feats["spk_idx"],
                                     feats["channel_live"], args.candidates,
@@ -265,7 +265,8 @@ def main(argv=None):
                 hits += len(tset & set(sel_np[bi].tolist()))
                 hit_total += len(tset)
             feats = dict(feats, spk_idx=sel)
-            out = ev(state.params, feats, teacher_forced=True)
+            out = ev(state.params, feats, teacher_forced=True,
+                     complement_mask=args.complement_mask)
         else:
             out = ev(state.params, feats,
                      teacher_forced=args.teacher_forced,
@@ -364,8 +365,8 @@ def _memory_eval(args):
             # overrides (batch_size_eval etc.) still win on top
             from dl4ss_tpu.run.common import apply_overrides
             cfg = apply_overrides(ck_cfg, args)
-    hw = ((299, 299) if args.video_trunk == "inception"
-          else (args.frame_size, args.frame_size))
+    from dl4ss_tpu.run.common import frame_hw
+    hw = frame_hw(args)
     state = create_memory_state(jax.random.PRNGKey(args.seed), cfg,
                                 args.query_source, frame_hw=hw,
                                 video_trunk=args.video_trunk)

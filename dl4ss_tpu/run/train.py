@@ -194,24 +194,12 @@ def _run_query_mode(cfg, bank, args):
     from dl4ss_tpu.data.synth import featurize, sample_mixtures
     from dl4ss_tpu.train.query_trainer import query_train_loop
 
+    from dl4ss_tpu.run.common import frame_hw, load_frame_bank
+
     query_source = "video" if args.mode == "video" else "image"
-    hw = (args.frame_size, args.frame_size)
-    if args.video_trunk == "inception":
-        hw = (299, 299)
+    hw = frame_hw(args)
     if query_source == "video":
-        if args.video_root:
-            from dl4ss_tpu.data.video import speaker_frame_bank
-            frames, idx2spk = speaker_frame_bank(args.video_root, args.frames,
-                                                 size=hw)
-            if frames.shape[0] != cfg.num_speakers:
-                raise SystemExit(
-                    f"--video-root has {frames.shape[0]} speakers but the "
-                    f"audio bank has {cfg.num_speakers}; the trees must "
-                    f"pair speaker-for-speaker (predata.py:161-184)")
-        else:
-            from dl4ss_tpu.data.video import synthetic_frame_bank
-            frames = synthetic_frame_bank(cfg.num_speakers, 2, args.frames,
-                                          hw, seed=args.seed)
+        frames = load_frame_bank(cfg, args, hw, args.seed)
         qbank = jnp.asarray(frames)                 # (S, C, T, H, W, 3)
         qkey = "query_video"
     else:
@@ -251,10 +239,10 @@ def _run_memory_mode(cfg, bank, args):
     from dl4ss_tpu.data.mnist import digit_query_bank, load_mnist
     from dl4ss_tpu.train.memory_trainer import memory_train_loop
 
+    from dl4ss_tpu.run.common import frame_hw, load_frame_bank
+
     qbank = None
-    hw = (args.frame_size, args.frame_size)
-    if args.video_trunk == "inception":
-        hw = (299, 299)
+    hw = frame_hw(args)
     if args.query_source == "image":
         imgs, labels = load_mnist(None)
         qbank = jnp.asarray(digit_query_bank(imgs, labels, cfg.num_speakers))
@@ -262,18 +250,7 @@ def _run_memory_mode(cfg, bank, args):
     elif args.query_source == "video":
         # lip frames drive the memory's VIDEO slot (MEMORY.add_video,
         # main_run.py:142-171): real GRID-style tree or synthetic bank
-        if args.video_root:
-            from dl4ss_tpu.data.video import speaker_frame_bank
-            frames, _ = speaker_frame_bank(args.video_root, args.frames,
-                                           size=hw)
-            if frames.shape[0] != cfg.num_speakers:
-                raise SystemExit(
-                    f"--video-root has {frames.shape[0]} speakers but the "
-                    f"audio bank has {cfg.num_speakers}")
-        else:
-            from dl4ss_tpu.data.video import synthetic_frame_bank
-            frames = synthetic_frame_bank(cfg.num_speakers, 2, args.frames,
-                                          hw, seed=args.seed)
+        frames = load_frame_bank(cfg, args, hw, args.seed)
         qbank = jnp.asarray(frames)                 # (S, C, T, H, W, 3)
         qkey = "query_video"
 

@@ -229,6 +229,9 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
 
     epochs = max_epochs if max_epochs is not None else cfg.max_epoch
     esize = epoch_size if epoch_size is not None else cfg.epoch_size
+    # the lr-schedule horizon (cosine/halving) must see the ACTUAL epoch
+    # budget, not the preset default (same convention as train_loop)
+    cfg = cfg.replace(max_epoch=epochs)
     state = (init_state if init_state is not None else
              create_memory_state(jax.random.PRNGKey(seed), cfg, query_source,
                                  esize, frame_hw=frame_hw,

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -228,6 +230,9 @@ def test_dirtree_sampler(tmp_path, rng):
     held = DirTreeSampler(root, cfg, "train", utts_per_speaker=1,
                           utts_offset=1)
     np.testing.assert_allclose(held.bank[:, 0], sampler.bank[:, 1])
+    # a wrapped held-out slice would re-include training rows — refuse it
+    with pytest.raises(ValueError, match="wraps"):
+        DirTreeSampler(root, cfg, "train", utts_per_speaker=2, utts_offset=1)
 
 
 def test_split_70_10_20():

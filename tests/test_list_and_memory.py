@@ -193,6 +193,45 @@ def test_list_same_speaker_real_specs(tmp_path, rng):
     assert np.isfinite(np.asarray(real)).all()
 
 
+def test_injected_vocab_with_unlisted_speaker(tmp_path, rng):
+    """A cv/tt sampler built under the TRAIN vocabulary must construct even
+    when the split's lists miss some train speakers (regression: the dis-sp
+    spk_rows table crashed on the empty row set)."""
+    cfg = CFG.replace(max_len_seconds=0.375)
+    ldir, root = _make_wsj0_layout(tmp_path, rng)
+    train = Wsj0MixSampler(ldir, root, cfg, "train")
+    vocab = dict(train.spk2idx)
+    vocab["zz_unlisted"] = len(vocab)          # train-only speaker
+    s = Wsj0MixSampler(ldir, root, cfg, "valid", spk2idx=vocab)
+    assert s.num_speakers == len(vocab)
+    assert int(s.spk_counts[vocab["zz_unlisted"]]) == 0
+    assert len(list(s.batches(2, shuffle=False))) == 2
+
+
+def test_list_real_specs_gate_dead_channels(tmp_path, rng):
+    """Mixed-k dis-sp: the real pool must zero padded channels exactly like
+    the fake side, or the discriminator wins on padding alone."""
+    from dl4ss_tpu.data.listsampler import list_same_speaker_real_specs
+    cfg = CFG.replace(max_len_seconds=0.375)
+    ldir, root = _make_wsj0_layout(tmp_path, rng, n_spk=4, n_utt=3)
+    ones = [f"wsj0/si_tr_s/{s % 4:02d}a/{s % 4:02d}ac02{s % 3:02d}.wav "
+            f"{0.3 - 0.1 * s:.3f}" for s in range(4)]
+    (tmp_path / "lists" / "mix_1_spk_tr.txt").write_text(
+        "\n".join(ones) + "\n")
+    s = Wsj0MixSampler(ldir, root, cfg, "train", mix_ks=(1, 2))
+    for batch in s.batches(2, shuffle=False):
+        dead = np.asarray(batch.gains) == 0
+        if not dead.any():
+            continue
+        real = np.asarray(list_same_speaker_real_specs(
+            jax.random.PRNGKey(5), batch, s.device_bank(),
+            jnp.asarray(s.spk_rows), jnp.asarray(s.spk_counts), cfg))
+        assert np.abs(real[dead]).max() == 0.0
+        assert np.abs(real[~dead]).max() > 0.0
+        return
+    raise AssertionError("no padded batch produced")
+
+
 def test_list_dis_sp_train_loop(tmp_path, rng):
     """One adversarial dis-sp epoch end-to-end through train_loop in list
     mode (the round-4 wiring; previously NotImplementedError)."""
