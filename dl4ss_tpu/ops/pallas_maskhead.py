@@ -165,7 +165,11 @@ def _fwd_vjp(hidden, w, b, queries, freq_bins, emb):
 # ---------------------------------------------------------------------------
 
 # backward time-tile: g (f32) + dg (f32) + (g.dgq) temp share VMEM with the
-# resident W (bf16) + S + R; 64 keeps the sum under the ~16 MB budget
+# resident W (bf16) + S + R; 64 keeps the sum under the ~16 MB budget.
+# The saved-masks and dout blocks MUST enter the kernel as bf16 (they are
+# upcast to f32 tile-locally): feeding them f32 doubles two double-buffered
+# (1, K, Tt, F) blocks, which blew the scoped budget by 112 KB at the
+# video path's shapes (B=64, T=320, f32 hidden -> f32 saved masks).
 _TILE_T_BWD = 64
 
 
@@ -252,7 +256,8 @@ def _bwd_vjp(freq_bins, emb, res, dout):
             jax.ShapeDtypeStruct((bsz, k, emb), jnp.float32),
         ],
         interpret=_interpret(),
-    )(hp16, w16, bias, qrep, s, r, masks, dout.astype(jnp.float32))
+    )(hp16, w16, bias, qrep, s, r,
+      masks.astype(jnp.bfloat16), dout.astype(jnp.bfloat16))
 
     dacc = dacc[:, :t]
     hp16 = hp16[:, :t]

@@ -186,6 +186,40 @@ def test_fused_maskhead_separator_equivalence(rng):
                                atol=2e-2)
 
 
+def test_fused_maskhead_backward_operands_bf16(rng, monkeypatch):
+    """VMEM regression (round 4): the backward kernel's saved-masks and
+    dout blocks must enter the pallas_call as bf16 — feeding them f32
+    (as the video path's f32 hidden once did) doubles two double-buffered
+    (1, K, Tt, F) blocks and blew the 16 MB scoped budget by 112 KB at
+    B=64/T=320."""
+    from dl4ss_tpu.ops import pallas_maskhead as pm
+    b, t, h2, f, e, k = 1, 70, 16, 9, 4, 2
+    hidden = jnp.asarray(rng.standard_normal((b, t, h2)).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.standard_normal((h2, f * e)).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.standard_normal(f * e).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, k, e)).astype(np.float32))
+
+    seen = []
+    orig = pm.pl.pallas_call
+
+    def spy(*args, **kwargs):
+        inner = orig(*args, **kwargs)
+
+        def call(*operands):
+            seen.append(tuple(op.dtype for op in operands))
+            return inner(*operands)
+        return call
+
+    monkeypatch.setattr(pm.pl, "pallas_call", spy)
+    jax.grad(lambda qq: jnp.sum(
+        pm.fused_dot_masks(hidden, w, bias, qq, f, e) ** 2))(q)
+    # last capture is the backward call: (h, W, b, qrep, S, R, masks, dout)
+    bwd = seen[-1]
+    assert len(bwd) == 8
+    assert bwd[6] == jnp.bfloat16, "saved masks must be bf16 in VMEM"
+    assert bwd[7] == jnp.bfloat16, "dout must be bf16 in VMEM"
+
+
 def test_fused_maskhead_vmem_size_guard():
     """Scaled-up configs whose resident W exceeds the VMEM budget must fall
     back to the XLA head instead of failing to compile: H=600 puts the bf16
