@@ -82,11 +82,18 @@ def _finish(params, cfg, emb_map, hidden, queries, feat, mix_ri, probs):
         queries = apply_adjust(params["adjust"], hidden, queries)
     if emb_map is None:
         # fused path: the (B,T,F,E) grid never exists in HBM
-        from dl4ss_tpu.ops.pallas_maskhead import fused_dot_masks
+        from dl4ss_tpu.ops.pallas_maskhead import _TILE_T_BWD, fused_dot_masks
         proj = params["encoder"]["proj"]
+        # ADDJUST + si_sdr programs inflate Mosaic's scoped stack for the
+        # backward kernel by ~3 MB at the same block shapes (measured:
+        # 18.9 MB > 16 MB at B=128); a half time-tile keeps the kernel
+        # viable there — still faster than the XLA mask-head fallback
+        bwd_tile = (32 if (cfg.is_self_tune and cfg.loss_mode == "si_sdr")
+                    else _TILE_T_BWD)
         masks = fused_dot_masks(hidden, proj["w"], proj["b"],
                                 queries.astype(hidden.dtype),
-                                cfg.freq_bins, cfg.embedding_size)
+                                cfg.freq_bins, cfg.embedding_size,
+                                bwd_tile)
     else:
         masks = apply_mask_head(params["mask_head"], emb_map, queries, cfg)
     if cfg.is_complex_mask:

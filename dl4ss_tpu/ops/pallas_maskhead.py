@@ -52,6 +52,9 @@ def _interpret() -> bool:
 # (XLA path: 8.24 ms); 160 divides the padded T=320 evenly and won
 _TILE_T = 160
 
+# backward time-tile default — rationale in the backward section below
+_TILE_T_BWD = 64
+
 
 def _kernel(h_ref, w_ref, b_ref, qrep_ref, s_ref, out_ref, *, k: int):
     h = h_ref[0]                                          # (Tt, 2H)
@@ -126,15 +129,17 @@ def _fwd_impl(hidden, w, b, queries, freq_bins, emb):
     return out[:, :, :t]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def fused_dot_masks(hidden, w, b, queries, freq_bins: int, emb: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_dot_masks(hidden, w, b, queries, freq_bins: int, emb: int,
+                    bwd_tile: int = _TILE_T_BWD):
     """hidden (B, T, 2H), w (2H, F*E), b (F*E,), queries (B, K, E) ->
     sigmoid dot-attention masks (B, K, T, F) without materializing the
-    (B, T, F, E) embedding grid."""
+    (B, T, F, E) embedding grid. `bwd_tile` sizes the backward kernel's
+    time-tile (static; see _TILE_T_BWD for when to shrink it)."""
     return _fwd_impl(hidden, w, b, queries, freq_bins, emb)
 
 
-def _fwd_vjp(hidden, w, b, queries, freq_bins, emb):
+def _fwd_vjp(hidden, w, b, queries, freq_bins, emb, bwd_tile):
     out = _fwd_impl(hidden, w, b, queries, freq_bins, emb)
     return out, (hidden, w, b, queries, out)
 
@@ -170,7 +175,12 @@ def _fwd_vjp(hidden, w, b, queries, freq_bins, emb):
 # upcast to f32 tile-locally): feeding them f32 doubles two double-buffered
 # (1, K, Tt, F) blocks, which blew the scoped budget by 112 KB at the
 # video path's shapes (B=64, T=320, f32 hidden -> f32 saved masks).
-_TILE_T_BWD = 64
+# Callers in programs whose surrounding layout choices inflate Mosaic's
+# scoped stack (measured: ADDJUST + si_sdr fine-tune, 18.9 MB > 16 MB at
+# the same block shapes) pass bwd_tile=32 — ~9% slower standalone but
+# still faster than the XLA mask-head fallback (models/separator.py).
+# (_TILE_T_BWD itself is defined at the top of the file: it is the
+# default for fused_dot_masks' bwd_tile argument.)
 
 
 def _bwd_kernel(h_ref, w_ref, b_ref, qrep_ref, s_ref, r_ref, m_ref, dm_ref,
@@ -197,7 +207,7 @@ def _bwd_kernel(h_ref, w_ref, b_ref, qrep_ref, s_ref, r_ref, m_ref, dm_ref,
         dg = dg + dgq * q
         # dq_k[e] = sum_{t,f} g[t, f*E+e] de[t, f]: fold FE -> E via R
         col = jnp.sum(g * dgq, axis=0, keepdims=True)     # (1, FE) f32
-        dq_ref[0, ki] += jnp.dot(col, r_ref[...],
+        dq_ref[0, ki] += jnp.dot(col.astype(r_ref.dtype), r_ref[...],
                                  preferred_element_type=jnp.float32)[0]
 
     dacc_ref[0] = (dg * (1.0 - g * g)).astype(dacc_ref.dtype)
@@ -210,13 +220,13 @@ def _fold_matrix(fe: int, emb: int, dtype):
     return (rows == cols).astype(dtype)
 
 
-def _bwd_vjp(freq_bins, emb, res, dout):
+def _bwd_vjp(freq_bins, emb, bwd_tile, res, dout):
     hidden, w, b, queries, masks = res
     bsz, t, h2 = hidden.shape
     k = queries.shape[1]
     fe = freq_bins * emb
     hp16 = hidden.astype(jnp.bfloat16)
-    tt = min(_TILE_T_BWD, t)
+    tt = min(bwd_tile, t)
     tp = -(-t // tt) * tt
     if tp != t:
         hp16 = jnp.pad(hp16, ((0, 0), (0, tp - t), (0, 0)))
@@ -224,7 +234,11 @@ def _bwd_vjp(freq_bins, emb, res, dout):
         dout = jnp.pad(dout, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
     qrep = jnp.tile(queries.astype(jnp.bfloat16), (1, 1, freq_bins))
     s = _block_sum_matrix(fe, emb, freq_bins, jnp.bfloat16)
-    r = _fold_matrix(fe, emb, jnp.float32)   # f32: dq accumulates exactly
+    # bf16 R halves a (FE, 128-lane-padded) resident — 1.65 MB of scoped
+    # VMEM at the reference shape; the fold itself stays exact (R is 0/1,
+    # f32 MXU accumulation), only `col` rounds to bf16 before the matmul,
+    # which is below the kernel's existing bf16 operand rounding anyway
+    r = _fold_matrix(fe, emb, jnp.bfloat16)
     bias = b.reshape(1, fe).astype(jnp.float32)
     w16 = w.astype(jnp.bfloat16)
 

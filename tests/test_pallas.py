@@ -168,6 +168,31 @@ def test_fused_maskhead_backward_multi_tile(rng):
     np.testing.assert_allclose(gq1, gq2, rtol=5e-2, atol=4e-2)
 
 
+def test_fused_maskhead_backward_small_tile(rng):
+    """bwd_tile=32 (the ADDJUST + si_sdr scoped-VMEM escape hatch,
+    models/separator.py) produces the same gradients as the default tile:
+    the tile size is a pure scheduling knob."""
+    from dl4ss_tpu.ops import pallas_maskhead as pm
+    b, t, h2, f, e, k = 2, 70, 16, 9, 4, 2    # 2 vs 3 tiles
+    hidden = jnp.asarray(rng.standard_normal((b, t, h2)).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.standard_normal((h2, f * e)).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.standard_normal(f * e).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, k, e)).astype(np.float32))
+
+    def loss(tile):
+        def fn(h, ww, bb, qq):
+            return jnp.sum(
+                pm.fused_dot_masks(h, ww, bb, qq, f, e, tile) ** 2)
+        return jax.grad(fn, argnums=(0, 1, 2, 3))(hidden, w, bias, q)
+
+    # different tiles group the bf16 col partial sums differently, so dq
+    # agrees only to bf16 rounding (same tolerance class as the reference
+    # comparison above)
+    for a, b_ in zip(loss(32), loss(pm._TILE_T_BWD)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_fused_maskhead_separator_equivalence(rng):
     """separate() with use_pallas_maskhead on == off (interpret mode)."""
     from dl4ss_tpu import preset
