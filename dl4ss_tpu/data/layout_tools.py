@@ -79,14 +79,28 @@ def generate_file_lists(root, out_dir, n_bg_dev: int = 1, n_bg_test: int = 8,
         out[split] = path
 
     unk = tree("unk")
+    if len(unk) == 1:
+        raise ValueError(
+            "unk tree has a single speaker: the unk protocol mixes each "
+            "target with a background utterance of ANOTHER unk speaker "
+            "(gen_file_list.py:121-128), so >=2 unk speakers are required")
     if unk:
         path = os.path.join(out_dir, "unk_wavlist.txt")
+        all_unk = [(w, s) for s, ws in unk.items() for w in ws]
         with open(path, "w") as f:
             for spk, wavs in unk.items():
+                # bg interferers come from OTHER unk speakers and the
+                # speaker column is the literal 'unk' (the reference's
+                # 4-column unk rows: `tar bg unk supp1,supp2,...`,
+                # gen_file_list.py:103-128); the supplemental column holds
+                # the speaker's enrollment pool (its other utterances —
+                # the unk/sounds/<spk> tree collapsed onto the same tree)
+                others = [w for (w, s) in all_unk if s != spk]
                 for w in wavs:
-                    # supplemental-enrollment column: another utterance of
-                    # the same unk speaker (gen_file_list.py:103-128)
-                    supp = rng.choice([x for x in wavs if x != w] or wavs)
-                    f.write(f"{w} {supp} {spk}\n")
+                    if not others:
+                        continue
+                    bg = rng.choice(others)
+                    supp = ",".join([x for x in wavs if x != w] or wavs)
+                    f.write(f"{w} {bg} unk {supp}\n")
         out["unk"] = path
     return out

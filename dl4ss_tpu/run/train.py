@@ -64,6 +64,12 @@ def main(argv=None):
                         "(create-speaker-mixtures): train epoch-finite from "
                         "mix_{k}_spk_tr.txt, the reference's list recipe "
                         "(TDAA_beta/predata_fromList.py:80-233)")
+    p.add_argument("--file-lists", default=None, metavar="DIR",
+                   help="memory mode: Cocktail wavlist directory "
+                        "(generate_file_lists output) — the training bank "
+                        "is built from train_wavlist.txt's `wav spk` rows, "
+                        "the corpus the reference's generator mixes from "
+                        "(prepare_data.py:104-155)")
     p.add_argument("--wav-root", default=None,
                    help="root the list wav paths are relative to")
     p.add_argument("--mix-k", default="2",
@@ -140,8 +146,40 @@ def main(argv=None):
             if dev.num_batches(cfg.batch_size) >= 1:
                 eval_batch = next(dev.batches(cfg.batch_size, shuffle=False))
         bank = None
+    elif args.file_lists:
+        if args.mode != "memory":
+            raise SystemExit("--file-lists is the Cocktail memory-mode "
+                             "protocol (run.train --mode memory); separator "
+                             "training uses --list-dir / --data-root")
+        import json
+        import os
+
+        import jax.numpy as jnp
+        from dl4ss_tpu.data.wavlist import train_bank_from_wavlist
+        bank_np, spk2idx = train_bank_from_wavlist(
+            os.path.join(args.file_lists, "train_wavlist.txt"),
+            args.wav_root or ".", cfg, utts_per_speaker=args.utts)
+        bank = jnp.asarray(bank_np)
+        cfg = cfg.replace(num_speakers=len(spk2idx))
+        if args.checkpoint_dir:
+            # record the training vocabulary beside the checkpoints, same
+            # contract as the list-driven separator path — the wavlist
+            # evaluator indexes memory rows through it
+            os.makedirs(args.checkpoint_dir, exist_ok=True)
+            with open(os.path.join(args.checkpoint_dir, "vocab.json"),
+                      "w") as fh:
+                json.dump(spk2idx, fh)
     else:
-        bank, cfg, _ = load_bank(cfg, args)
+        bank, cfg, idx2spk = load_bank(cfg, args)
+        if args.mode == "memory" and args.checkpoint_dir:
+            # memory-mode evaluators (incl. the wavlist protocol) need the
+            # speaker -> memory-row mapping of THIS training bank
+            import json
+            import os
+            os.makedirs(args.checkpoint_dir, exist_ok=True)
+            with open(os.path.join(args.checkpoint_dir, "vocab.json"),
+                      "w") as fh:
+                json.dump({s: i for i, s in idx2spk.items()}, fh)
     noise_bank = None
     if args.noise_wavs:
         if args.list_dir or args.mode in ("memory", "video", "image-query"):
@@ -158,14 +196,10 @@ def main(argv=None):
             f"--resume: the data source has {cfg.num_speakers} speakers "
             f"but the checkpoint was trained with {ck_cfg.num_speakers}; "
             f"resume with the original data/lists")
-    if args.init_from:
-        if args.resume:
-            raise SystemExit("--init-from (warm start, fresh optimizer) and "
-                             "--resume (exact state restore) conflict; "
-                             "pick one")
-        if args.mode in ("memory", "video", "image-query"):
-            raise SystemExit(f"--init-from is not wired into {args.mode} "
-                             f"mode; those trainers resume with --resume")
+    if args.init_from and args.resume:
+        raise SystemExit("--init-from (warm start, fresh optimizer) and "
+                         "--resume (exact state restore) conflict; "
+                         "pick one")
     print(cfg.log_config())
     if args.mode == "memory":
         return _run_memory_mode(cfg, bank, args)
@@ -223,7 +257,8 @@ def _run_query_mode(cfg, bank, args):
         epoch_size=args.epoch_size, query_source=query_source,
         video_trunk=args.video_trunk, frame_hw=hw,
         metrics_path=args.metrics, checkpoint_dir=args.checkpoint_dir,
-        resume=args.resume, dev_batch=dev, eval_every=args.eval_every)
+        resume=args.resume, dev_batch=dev, eval_every=args.eval_every,
+        init_from=args.init_from)
     if sdr:
         print(f"final SI-SDR: {sdr[-1]:.2f} dB (best {max(sdr):.2f})")
     return state
@@ -261,7 +296,11 @@ def _run_memory_mode(cfg, bank, args):
         feats = {"mix_feas": f["mix_feas"], "mix_mag": mix_mag,
                  "spk_id": b.spk_idx[:, 0],          # first speaker = target
                  "clean_feas": f["src_feas"][:, 0],
-                 "target_mag": target_mag}
+                 "target_mag": target_mag,
+                 # loss_mode='si_sdr' resynthesizes through the mixture
+                 # spectrum and scores against the designated target wav
+                 "mix_ri": f["mix_ri"],
+                 "target_wav": b.source_wavs[:, 0]}
         if qbank is not None:
             vi = jax.random.randint(key, b.spk_idx[:, 0].shape, 0,
                                     qbank.shape[1])
@@ -269,14 +308,24 @@ def _run_memory_mode(cfg, bank, args):
         return feats
 
     init_state = None
-    if args.resume and args.checkpoint_dir:
+    if args.init_from or (args.resume and args.checkpoint_dir):
         from dl4ss_tpu.train.checkpoint import latest_step, restore_checkpoint
         from dl4ss_tpu.train.memory_trainer import create_memory_state
-        if latest_step(args.checkpoint_dir) is not None:
-            template = create_memory_state(
-                jax.random.PRNGKey(args.seed), cfg, args.query_source,
-                args.epoch_size or cfg.epoch_size, frame_hw=hw,
-                video_trunk=args.video_trunk)
+        template = create_memory_state(
+            jax.random.PRNGKey(args.seed), cfg, args.query_source,
+            args.epoch_size or cfg.epoch_size, frame_hw=hw,
+            video_trunk=args.video_trunk)
+        if args.init_from:
+            # warm start (fresh optimizer/step): params AND the persistent
+            # memory rows come from the donor — the Cocktail memory is model
+            # state, not optimizer state (extend_layers.py:144-145) — e.g.
+            # spectral-MSE pretrain then --set loss_mode=si_sdr
+            donor = restore_checkpoint(args.init_from, template)
+            init_state = template._replace(params=donor.params,
+                                           memory=donor.memory)
+            print(f"warm-started memory-mode params+memory from "
+                  f"{args.init_from} (fresh optimizer)")
+        elif latest_step(args.checkpoint_dir) is not None:
             init_state = restore_checkpoint(args.checkpoint_dir, template)
             print(f"resumed memory-mode step {int(init_state.step)} "
                   f"from {args.checkpoint_dir}")

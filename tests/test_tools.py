@@ -30,7 +30,7 @@ def test_layout_wsj0(tmp_path, rng):
 
 def test_generate_file_lists(tmp_path, rng):
     for split, spks in [("train", ["s1", "s2"]), ("dev", ["s1", "s2"]),
-                        ("test", ["s1", "s2"]), ("unk", ["u1"])]:
+                        ("test", ["s1", "s2"]), ("unk", ["u1", "u2"])]:
         for spk in spks:
             d = tmp_path / split / spk
             os.makedirs(d)
@@ -45,7 +45,14 @@ def test_generate_file_lists(tmp_path, rng):
     cols = test_rows[0].split()
     assert len(cols) == 3 and len(cols[1].split(",")) == 2  # bg utts
     unk = open(lists["unk"]).read().strip().splitlines()
-    assert len(unk[0].split()) == 3
+    # the reference's 4-column unk rows (gen_file_list.py:103-128):
+    # tar bg unk supp1[,supp2...] — bg from OTHER unk speakers, speaker
+    # column the literal 'unk', supplemental column the enrollment pool
+    cols = unk[0].split()
+    assert len(cols) == 4 and cols[2] == "unk"
+    assert os.path.dirname(cols[0]) != os.path.dirname(cols[1])
+    for supp in cols[3].split(","):
+        assert os.path.dirname(supp) == os.path.dirname(cols[0])
 
 
 def test_synthetic_mnist_and_bank():
