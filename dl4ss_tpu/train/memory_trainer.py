@@ -102,6 +102,29 @@ def _slot(query_source: str) -> int:
             "video": SLOT_VIDEO}[query_source]
 
 
+def _memory_loss(pred, masks, feats, cfg: Config):
+    """Loss of the memory-driven single-target extraction.
+
+    Default: the Keras stack's spectral mask MSE (nnet.py:113, MSE-only —
+    the reference never trains Cocktail on the eval metric). With
+    cfg.loss_mode='si_sdr' the chain continues differentiably through the
+    mixture-phase iSTFT to negative time-domain SI-SDR of the designated
+    target — the same fine-tune lever measured at +0.43..+0.85 dB on every
+    separator variant (docs/BENCHMARKS.md), applied here to the Cocktail /
+    Multi_modal generation. mask (.) |X| (.) e^{j angle X} == mask (.) X, so
+    the resynthesis is phasor-free. No PIT: the protocol designates the
+    target (first-speaker-is-target, prepare_data.py:104-155)."""
+    if cfg.loss_mode == "si_sdr":
+        from dl4ss_tpu.eval.sisdr import si_sdr
+        from dl4ss_tpu.ops.crm import unpack_ri
+        from dl4ss_tpu.ops.stft import istft_cfg
+        pred_spec = masks[:, 0].astype(jnp.complex64) * \
+            unpack_ri(feats["mix_ri"])
+        wav = istft_cfg(pred_spec, cfg, length=cfg.max_len)
+        return -jnp.mean(si_sdr(wav, feats["target_wav"]))
+    return jnp.mean((pred - feats["target_mag"]) ** 2)
+
+
 def make_memory_train_step(cfg: Config, query_source: str = "speech",
                            steps_per_epoch: int = 1) -> Callable:
     opt = make_optimizer(cfg, steps_per_epoch)
@@ -124,7 +147,7 @@ def make_memory_train_step(cfg: Config, query_source: str = "speech",
             masks = apply_mask_head(params["mask_head"], emb_map,
                                     query[:, None, :], align_cfg)
             pred = masks[:, 0] * feats["mix_mag"]
-            return jnp.mean((pred - feats["target_mag"]) ** 2), vp
+            return _memory_loss(pred, masks, feats, cfg), vp
 
         (loss, vp), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -143,7 +166,9 @@ def make_memory_train_step(cfg: Config, query_source: str = "speech",
 def make_memory_eval_step(cfg: Config, query_source: str = "speech"
                           ) -> Callable:
     """Inference: clean/query input zeroed, the memory row drives the mask
-    (predict.py:231-245). Returns (pred_mag, mask, dev-MSE vs target)."""
+    (predict.py:231-245). Returns (pred_mag, mask, dev loss vs target —
+    MSE, or negative SI-SDR under loss_mode='si_sdr' so early stopping
+    selects on the trained objective)."""
     align_cfg = cfg.replace(mask_head="align")
     slot = _slot(query_source)
 
@@ -154,7 +179,7 @@ def make_memory_eval_step(cfg: Config, query_source: str = "speech"
         masks = apply_mask_head(params["mask_head"], emb_map,
                                 query[:, None, :], align_cfg)
         pred = masks[:, 0] * feats["mix_mag"]
-        loss = jnp.mean((pred - feats["target_mag"]) ** 2)
+        loss = _memory_loss(pred, masks, feats, cfg)
         return {"pred_mag": pred, "mask": masks[:, 0], "loss": loss}
 
     return step

@@ -74,7 +74,24 @@ def make_query_train_step(cfg: Config, query_source: str = "video",
             out = separate(params, feats["mix_feas"], cfg, queries=queries,
                            mix_ri=feats.get("mix_ri"))
             pred = out.pred * live[..., None, None]
-            if cfg.loss_mode == "pit":
+            if cfg.loss_mode == "si_sdr":
+                # time-domain fine-tune through the mixture-phase iSTFT —
+                # the separator's +0.43..+0.85 dB lever (docs/BENCHMARKS.md)
+                # applied to the query-conditioned generation; channels are
+                # query-designated, so the assignment is identity (each
+                # channel's query IS its speaker), not PIT
+                from dl4ss_tpu.eval.sisdr import si_sdr
+                from dl4ss_tpu.ops.crm import unpack_ri
+                from dl4ss_tpu.ops.stft import istft_cfg
+                mix = unpack_ri(feats["mix_ri"])
+                phasor = mix / jnp.maximum(jnp.abs(mix),
+                                           1e-8).astype(mix.dtype)
+                wavs = istft_cfg(pred.astype(jnp.float32) * phasor[:, None],
+                                 cfg, length=cfg.max_len)
+                scores = si_sdr(wavs, feats["source_wavs"])
+                denom = jnp.maximum(jnp.sum(live), 1.0)
+                mask_l = -jnp.sum(scores * live) / denom
+            elif cfg.loss_mode == "pit":
                 mask_l, _ = pit_loss(pred, feats["src_feas"])
             else:
                 mask_l = mask_mse_loss(pred, feats["src_feas"], live)
@@ -141,7 +158,8 @@ def query_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
                      query_source: str = "video", video_trunk: str = "conv",
                      frame_hw=(48, 48), metrics_path=None,
                      checkpoint_dir=None, resume: bool = False,
-                     dev_batch=None, eval_every: int = 1):
+                     dev_batch=None, eval_every: int = 1,
+                     init_from=None):
     """Epoch driver for the audio-visual / image-query configurations
     (Torch_multi/main_run.py:226-256 video phase; Multi_modal nnet.py).
 
@@ -164,7 +182,12 @@ def query_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
     cfg = cfg.replace(max_epoch=epochs)
     state = create_query_state(jax.random.PRNGKey(seed), cfg, query_source,
                                esize, video_trunk, frame_hw)
-    if resume and checkpoint_dir:
+    if init_from:
+        # warm start into a fresh optimizer (the MSE -> si_sdr fine-tune
+        # pattern, same contract as train_loop's init_from)
+        from dl4ss_tpu.train.checkpoint import init_params_from
+        state = init_params_from(state, init_from)
+    elif resume and checkpoint_dir:
         from dl4ss_tpu.train.checkpoint import latest_step
         if latest_step(checkpoint_dir) is not None:
             state = restore_checkpoint(checkpoint_dir, state)

@@ -440,3 +440,41 @@ def test_linear_target_mags_log_spectral():
     f2 = featurize(b, cfg_lin)
     m2, t2 = linear_target_mags(f2, b, cfg_lin)
     np.testing.assert_array_equal(np.asarray(m2), np.asarray(f2["mix_feas"]))
+
+
+def test_memory_si_sdr_fine_tune_improves_metric():
+    """loss_mode='si_sdr' in the memory trainer (the separator's measured
+    +0.43..+0.85 dB lever applied to the Cocktail generation): the step
+    trains on negative time-domain SI-SDR of the designated target through
+    the mixture-phase iSTFT, and the metric improves from the MSE warm
+    start."""
+    cfg = CFG.replace(loss_mode="si_sdr")
+    bank = jnp.asarray(make_synthetic_bank(0, cfg.num_speakers, 2,
+                                           cfg.max_len))
+    batch = sample_mixtures(jax.random.PRNGKey(5), bank, cfg)
+    feats = featurize(batch, cfg)
+    mfeats = {
+        "mix_feas": feats["mix_feas"], "mix_mag": feats["mix_feas"],
+        "spk_id": batch.spk_idx[:, 0],
+        "clean_feas": feats["src_feas"][:, 0],
+        "target_mag": feats["src_feas"][:, 0],
+        "mix_ri": feats["mix_ri"],
+        "target_wav": batch.source_wavs[:, 0],
+    }
+    # MSE pre-train a few steps, then switch objective (fresh state reuse:
+    # the param tree is identical, only the loss changes)
+    state = create_memory_state(jax.random.PRNGKey(0), CFG)
+    mse_step = make_memory_train_step(CFG)
+    for _ in range(5):
+        state, _ = mse_step(state, mfeats)
+    ft_step = make_memory_train_step(cfg)
+    losses = []
+    for _ in range(15):
+        state, m = ft_step(state, mfeats)
+        losses.append(float(m["loss"]))       # = -mean SI-SDR (dB)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # the eval step reports the same objective under si_sdr mode
+    ev = make_memory_eval_step(cfg)
+    out = ev(state.params, state.memory, mfeats)
+    assert np.isfinite(float(out["loss"]))

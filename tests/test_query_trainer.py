@@ -127,3 +127,27 @@ def test_every_preset_config_is_consistent(name):
     out = separate(params, feat, cfg, spk_idx=jnp.array([[0, 1], [2, 3]]),
                    mix_ri=mix_ri)
     assert np.isfinite(np.asarray(out.pred)).all()
+
+
+def test_query_si_sdr_fine_tune(rng):
+    """loss_mode='si_sdr' in the query trainer: the video-conditioned
+    separator trains on negative time-domain SI-SDR (identity channel
+    assignment — each channel's query designates its speaker), and the
+    loss (= -mean live SI-SDR in dB) improves."""
+    cfg = CFG.replace(loss_mode="si_sdr")
+    feats, batch = _base_feats(jax.random.PRNGKey(2))
+    b, k = batch.spk_idx.shape
+    spk = np.asarray(batch.spk_idx).astype(np.float32)
+    frames = np.zeros((b, k, 2, 48, 48, 3), np.float32)
+    for bi in range(b):
+        for ki in range(k):
+            frames[bi, ki] = spk[bi, ki] / CFG.num_speakers
+    feats = dict(feats, query_video=jnp.asarray(frames))
+    state = create_query_state(jax.random.PRNGKey(1), cfg, "video")
+    step = make_query_train_step(cfg, "video")
+    losses = []
+    for _ in range(12):
+        state, m = step(state, feats)
+        losses.append(float(m["mask_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
