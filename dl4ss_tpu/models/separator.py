@@ -168,7 +168,8 @@ def separate_dense(params, feat: jax.Array, cfg: Config,
     return out._replace(masks=masks, pred=pred)
 
 
-def recursive_separate(params, feat: jax.Array, cfg: Config
+def recursive_separate(params, feat: jax.Array, cfg: Config,
+                       allowed: Optional[jax.Array] = None
                        ) -> tuple[jax.Array, jax.Array]:
     """TDAA's signature recursive extraction (§3.4 of SURVEY.md).
 
@@ -176,6 +177,11 @@ def recursive_separate(params, feat: jax.Array, cfg: Config
     speaker not yet extracted, mask it out, and feed `(1-mask) * residual`
     back in (main_run_multi_selfSS_recu.py:341-400). Static `cfg.
     recursive_max_steps` iterations (the reference stops after 2).
+
+    `allowed` ((B, S) bool, optional) restricts every peel step's classifier
+    choice to a per-sample candidate roster — the aim_pro protocol
+    (predata_multiSpeechTest.py:89-115) composed with the peel loop's own
+    already-extracted exclusion.
 
     Returns (extracted (B, steps, T, F), speaker indices (B, steps)).
     """
@@ -197,7 +203,8 @@ def recursive_separate(params, feat: jax.Array, cfg: Config
         residual, seen = carry                       # (B,T,F), (B,S) bool
         emb_map, hidden = apply_encoder(params["encoder"], residual, cfg)
         probs = apply_classifier(params["classifier"], residual, cfg)
-        probs = jnp.where(seen, -jnp.inf, probs)
+        blocked = seen if allowed is None else seen | ~allowed.astype(bool)
+        probs = jnp.where(blocked, -jnp.inf, probs)
         spk = jnp.argmax(probs, axis=-1)             # (B,)
         queries = apply_embedding(params["embedding"], spk[:, None])
         if cfg.is_self_tune:

@@ -122,12 +122,12 @@ def main(argv=None):
     if args.mode == "memory":
         return _memory_eval(args)
     if args.mode == "recursive" and (args.dedup or args.teacher_forced
-                                     or args.complement_mask
-                                     or args.candidates):
+                                     or args.complement_mask):
         raise SystemExit(
             "--mode recursive selects one speaker per peel step itself; "
-            "--dedup/--teacher-forced/--complement-mask/--candidates apply "
-            "to the simultaneous top-k evaluator only")
+            "--dedup/--teacher-forced/--complement-mask apply to the "
+            "simultaneous top-k evaluator only (--candidates composes: it "
+            "restricts each peel step to the aim_pro roster)")
     if args.candidates and (args.dedup or args.teacher_forced):
         raise SystemExit("--candidates is its own selection protocol; drop "
                          "--dedup/--teacher-forced")
@@ -234,6 +234,14 @@ def main(argv=None):
                                    live=(batch.gains > 0))
             all_oracle.append(np.asarray(ob))
         if args.mode == "recursive":
+            if args.candidates:
+                # the peel loop picks only within the aim_pro roster (true
+                # speakers + distractors, predata_multiSpeechTest.py:89-115)
+                from dl4ss_tpu.objectives.select import candidate_pools
+                key, kc = jax.random.split(key)
+                feats = dict(feats, candidates=candidate_pools(
+                    kc, feats["spk_idx"], feats["channel_live"],
+                    args.candidates, cfg.num_speakers))
             out = ev(state.params, feats)
             # speaker hit rate: did the peel loop recover the true set?
             chosen = np.asarray(out["spk_steps"])

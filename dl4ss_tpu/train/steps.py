@@ -365,7 +365,11 @@ def make_recursive_eval_step(cfg: Config) -> Callable:
 
     @jax.jit
     def step(params, feats):
-        extracted, spks = recursive_separate(params, feats["mix_feas"], cfg)
+        # optional aim_pro roster: every peel step restricted to the
+        # per-sample candidate pool (dict-key presence is trace-static)
+        extracted, spks = recursive_separate(
+            params, feats["mix_feas"], cfg,
+            allowed=feats.get("candidates"))
         mix = unpack_ri(feats["mix_ri"])
         mag = jnp.abs(mix)
         phasor = mix / jnp.maximum(mag, 1e-8).astype(mix.dtype)

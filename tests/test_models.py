@@ -208,6 +208,22 @@ def test_recursive_separate(rng):
     assert (np.asarray(spks[:, 0]) != np.asarray(spks[:, 1])).all()
 
 
+def test_recursive_separate_candidate_roster(rng):
+    """`allowed` restricts every peel step to the aim_pro candidate pool
+    (predata_multiSpeechTest.py:89-115) on top of the loop's own
+    already-extracted exclusion."""
+    cfg = CFG.replace(batch_size=1, recursive_max_steps=2)
+    p = init_separator(KEY, cfg, num_frames=T)
+    feat = jnp.abs(_feat(rng))
+    allowed = np.zeros((B, cfg.num_speakers), bool)
+    roster = [1, 3, 5]
+    allowed[:, roster] = True
+    _, spks = recursive_separate(p, feat, cfg, allowed=jnp.asarray(allowed))
+    spks = np.asarray(spks)
+    assert np.isin(spks, roster).all()               # never leaves the pool
+    assert (spks[:, 0] != spks[:, 1]).all()          # exclusion still holds
+
+
 def test_separator_jit_and_grads(rng):
     p = init_separator(KEY, CFG, num_frames=T)
     feat = jnp.abs(_feat(rng))
