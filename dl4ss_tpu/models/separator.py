@@ -84,12 +84,12 @@ def _finish(params, cfg, emb_map, hidden, queries, feat, mix_ri, probs):
         # fused path: the (B,T,F,E) grid never exists in HBM
         from dl4ss_tpu.ops.pallas_maskhead import _TILE_T_BWD, fused_dot_masks
         proj = params["encoder"]["proj"]
-        # ADDJUST + si_sdr programs inflate Mosaic's scoped stack for the
-        # backward kernel by ~3 MB at the same block shapes (measured:
-        # 18.9 MB > 16 MB at B=128); a half time-tile keeps the kernel
-        # viable there — still faster than the XLA mask-head fallback
-        bwd_tile = (32 if (cfg.is_self_tune and cfg.loss_mode == "si_sdr")
-                    else _TILE_T_BWD)
+        # si_sdr training programs inflate Mosaic's scoped stack for the
+        # backward kernel at the same block shapes (measured at B=128:
+        # 18.9 MB with ADDJUST, 17.5 MB without — both > the 16 MB limit;
+        # identical MSE/pit programs compile fine); a half time-tile keeps
+        # the kernel viable there — still faster than the XLA fallback
+        bwd_tile = (32 if cfg.loss_mode == "si_sdr" else _TILE_T_BWD)
         masks = fused_dot_masks(hidden, proj["w"], proj["b"],
                                 queries.astype(hidden.dtype),
                                 cfg.freq_bins, cfg.embedding_size,
