@@ -335,7 +335,8 @@ def _run_memory_mode(cfg, bank, args):
         cfg, make_batch, seed=args.seed, max_epochs=args.epochs,
         epoch_size=args.epoch_size, query_source=args.query_source,
         patience=args.patience, dev_batch=dev, init_state=init_state,
-        frame_hw=hw, video_trunk=args.video_trunk)
+        frame_hw=hw, video_trunk=args.video_trunk,
+        metrics_path=args.metrics)
     if history:
         print(f"dev-loss: first {history[0]:.4f} best {min(history):.4f} "
               f"({len(history)} epochs)")

@@ -241,7 +241,8 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
                       dev_batch: Optional[dict] = None,
                       init_state=None,
                       frame_hw: Tuple[int, int] = (48, 48),
-                      video_trunk: str = "conv"):
+                      video_trunk: str = "conv",
+                      metrics_path: Optional[str] = None):
     """Early-stopped training (nnet.py:149-172): per-epoch dev loss, stop
     after `patience` epochs without improvement, return the best params.
 
@@ -270,6 +271,8 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
             dev_batch = shard_batch(dev_batch, mesh)
     train_step = make_memory_train_step(cfg, query_source, esize)
     eval_step = make_memory_eval_step(cfg, query_source)
+    from dl4ss_tpu.train.metrics import MetricsWriter
+    writer = MetricsWriter(metrics_path, echo=False)
     best = (float("inf"), state.params, state.memory)
     bad_epochs = 0
     history = []
@@ -279,6 +282,7 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
     mesh_ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
                 else contextlib.nullcontext())
     with mesh_ctx:
+        m = {"loss": float("nan")}
         for epoch in range(start_epoch, epochs):
             for _ in range(esize):
                 rng, sub = jax.random.split(state.rng)
@@ -290,6 +294,9 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
                 dev = float(eval_step(state.params, state.memory,
                                       dev_batch)["loss"])
                 history.append(dev)
+                writer.write("epoch", int(state.step), epoch=epoch,
+                             dev_loss=dev,
+                             train_loss=float(m["loss"]))
                 if dev < best[0]:
                     best = (dev, state.params, state.memory)
                     bad_epochs = 0
@@ -297,6 +304,7 @@ def memory_train_loop(cfg: Config, make_batch: Callable, seed: int = 1,
                     bad_epochs += 1
                     if bad_epochs >= patience:
                         break
+    writer.close()
     if dev_batch is not None and best[0] < float("inf"):
         state = state._replace(params=best[1], memory=best[2])
     return state, history
