@@ -615,13 +615,22 @@ def _wavlist_protocol(args, cfg, state, score_fn):
             raise SystemExit(f"list speakers {missing} absent from the "
                              f"training vocabulary")
 
+    import time as _time
     mixer = WavListMixer(rows, root, cfg, spk2idx=vocab)
+    n_batches = (len(rows) + b - 1) // b
+    print(f"wavlist bank ready: {len(mixer.utt2row)} unique utterances, "
+          f"{n_batches} batches of {b}", flush=True)
+    t0 = _time.time()
     sdrs, nsdrs, g_rows = [], [], []
-    for batch, n_valid in mixer.batches(b, target_rows=target_rows):
+    for i, (batch, n_valid) in enumerate(
+            mixer.batches(b, target_rows=target_rows)):
         s, ns, gr = score_fn(memory, batch, batch.spk_idx[:, 0])
         sdrs.append(s[:n_valid])
         nsdrs.append(ns[:n_valid])
         g_rows.append({k: v[:n_valid] for k, v in gr.items()})
+        if i == 0 or (i + 1) % 20 == 0:
+            print(f"  batch {i + 1}/{n_batches} "
+                  f"({_time.time() - t0:.0f}s)", flush=True)
     sisdr = float(np.mean(np.concatenate(sdrs)))
     ns = float(np.mean(np.concatenate(nsdrs)))
     gm = {k: float(np.mean(np.concatenate([r[k] for r in g_rows])))
